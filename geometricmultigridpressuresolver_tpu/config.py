@@ -1,0 +1,70 @@
+"""Solver configuration.
+
+The reference hard-codes its knobs in C++ (damping 2/3 at
+Source/HDK_GeometricMultigridOperators.h:291; boundary band width 3 and 3
+boundary Jacobi iterations at Source/HDK_GeometricMultigridPoissonSolver.cpp:141-142;
+ghost-fluid theta clamp 0.01 at
+Source/HDK_GeometricFreeSurfacePressureSolver.cpp:854; CG tolerance 1e-5 and
+2500 max iterations at Source/HDK_GeometricFreeSurfacePressureSolver.cpp:65-68)
+and exposes the rest as Houdini node parameters.  Here everything is one
+dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Configuration for the MGPCG pressure solver.
+
+    Attributes:
+      solve_dtype: dtype of the outer CG iteration (reference: all-double,
+        Source/HDK_GeometricMultigridPoissonSolver.h:14-15).
+      mg_dtype: dtype of the V-cycle preconditioner.  Setting this to
+        float32 while solve_dtype stays float64 is the mixed-precision mode
+        the reference README names as future work (README.md:34-35).
+      use_gauss_seidel: red/black Gauss-Seidel interior smoother when True,
+        damped Jacobi otherwise (reference `useGaussSeidel`,
+        Source/HDK_GeometricMultigridPoissonSolver.h:24).
+      jacobi_damping: damped-Jacobi weight (reference 2/3,
+        Source/HDK_GeometricMultigridOperators.h:291).
+      boundary_width: BFS band width for extra boundary smoothing
+        (reference myBoundarySmootherWidth = 3).
+      boundary_iterations: damped-Jacobi passes over the band before/after
+        each interior smooth (reference myBoundarySmootherIterations = 3).
+      tolerance: relative residual tolerance (||r|| <= tol * ||b||).
+      max_iterations: CG iteration cap.
+      theta_clamp: lower clamp of the ghost-fluid theta
+        (reference 0.01, Source/HDK_GeometricFreeSurfacePressureSolver.cpp:854).
+      project_null_space: subtract the mean from the residual each iteration
+        (all-Neumann / smoke case; reference `doProjectNullSpace`,
+        Source/HDK_Utilities.h:197-297).
+      use_old_pressure: warm-start CG from the previous pressure
+        (reference `useOldPressure`, default on).
+      use_mg_preconditioner: MG V-cycle preconditioner when True, inverse
+        diagonal otherwise (reference `useMGPreconditioner`, default on).
+      max_mg_levels: optional cap on the multigrid hierarchy depth.
+    """
+
+    solve_dtype: Any = jnp.float64
+    mg_dtype: Any = None  # defaults to solve_dtype
+    use_gauss_seidel: bool = True
+    jacobi_damping: float = 2.0 / 3.0
+    boundary_width: int = 3
+    boundary_iterations: int = 3
+    tolerance: float = 1e-5
+    max_iterations: int = 2500
+    theta_clamp: float = 0.01
+    project_null_space: bool = False
+    use_old_pressure: bool = True
+    use_mg_preconditioner: bool = True
+    max_mg_levels: int | None = None
+
+    @property
+    def mg_dtype_resolved(self):
+        return self.solve_dtype if self.mg_dtype is None else self.mg_dtype
