@@ -1,0 +1,206 @@
+"""Device-side Poisson stencil operators (JAX).
+
+Vectorized, label-masked equivalents of the reference's per-cell operator
+loops (Source/HDK_GeometricMultigridOperators.h:177-732):
+
+  * apply_poisson      -> applyPoissonMatrix (h:621-714)
+  * residual           -> computePoissonResidual (h:716-732)
+  * jacobi_smooth      -> jacobiPoissonSmoother (h:262-367), damping 2/3
+  * boundary_jacobi    -> boundaryJacobiPoissonSmoother (h:524-619), the
+                          explicit cell list becomes a dense band mask
+  * rb_gauss_seidel    -> tiledGaussSeidelPoissonSmoother (h:369-520).  The
+                          reference colors 16^3 tiles by parity and sweeps
+                          serially inside each tile -- hostile to a vector
+                          machine.  We use cell-level red/black coloring
+                          instead: each color pass is a parallel exact
+                          Gauss-Seidel half-sweep, and running red->black on
+                          the V-cycle downstroke and black->red on the
+                          upstroke keeps the preconditioner symmetric (the
+                          adjoint-ordering requirement validated by the
+                          symmetry suite, Source/HDK_TestGeometricMultigrid.cpp:1167-1876).
+
+All stencil coefficients are precomputed per level (see
+`ops.domain.build_level_coefficients`), so every operator is a pure 7-point
+stencil with static coefficient grids: HBM-bandwidth-bound on TPU, fully
+fusible by XLA.
+
+The operator is the dimensionless Poisson matrix (dx factored out, interior
+diagonal 6).  Fields are maintained identically zero outside the solvable
+set, mirroring the reference's active-set discipline.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LevelCoeffs(NamedTuple):
+    """Static per-level stencil coefficients (a pytree of device arrays).
+
+    ew0/ew1/ew2 are per-axis face arrays of off-diagonal edge weights,
+    nonzero only on faces between two solvable cells.  diag/inv_diag are
+    zero on non-solvable cells, so operators are implicitly masked.
+    """
+
+    solvable: jax.Array  # bool  (nx, ny, nz)
+    band: jax.Array      # bool  (nx, ny, nz)
+    diag: jax.Array      # float (nx, ny, nz)
+    inv_diag: jax.Array  # float (nx, ny, nz)
+    ew0: jax.Array       # float (nx+1, ny, nz)
+    ew1: jax.Array       # float (nx, ny+1, nz)
+    ew2: jax.Array       # float (nx, ny, nz+1)
+
+    @classmethod
+    def from_host(cls, coeffs: dict, dtype) -> "LevelCoeffs":
+        ew = coeffs["ew"]
+        return cls(
+            solvable=jnp.asarray(coeffs["solvable"]),
+            band=jnp.asarray(coeffs["band"]),
+            diag=jnp.asarray(coeffs["diag"], dtype=dtype),
+            inv_diag=jnp.asarray(coeffs["inv_diag"], dtype=dtype),
+            ew0=jnp.asarray(ew[0], dtype=dtype),
+            ew1=jnp.asarray(ew[1], dtype=dtype),
+            ew2=jnp.asarray(ew[2], dtype=dtype),
+        )
+
+    @property
+    def shape(self):
+        return self.diag.shape
+
+    def astype(self, dtype) -> "LevelCoeffs":
+        return LevelCoeffs(
+            self.solvable,
+            self.band,
+            self.diag.astype(dtype),
+            self.inv_diag.astype(dtype),
+            self.ew0.astype(dtype),
+            self.ew1.astype(dtype),
+            self.ew2.astype(dtype),
+        )
+
+
+def _shift_m(x: jax.Array, axis: int) -> jax.Array:
+    """out[i] = x[i-1] along `axis`, zero at i = 0."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 0)
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(0, -1)
+    return jnp.pad(x, pad)[tuple(sl)]
+
+
+def _shift_p(x: jax.Array, axis: int) -> jax.Array:
+    """out[i] = x[i+1] along `axis`, zero at i = n-1."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, 1)
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(1, None)
+    return jnp.pad(x, pad)[tuple(sl)]
+
+
+def _face_lo(w: jax.Array, axis: int) -> jax.Array:
+    """Lower-face weight of each cell (cell-shaped view of a face array)."""
+    sl = [slice(None)] * w.ndim
+    sl[axis] = slice(0, -1)
+    return w[tuple(sl)]
+
+
+def _face_hi(w: jax.Array, axis: int) -> jax.Array:
+    """Upper-face weight of each cell."""
+    sl = [slice(None)] * w.ndim
+    sl[axis] = slice(1, None)
+    return w[tuple(sl)]
+
+
+def neighbor_sum(x: jax.Array, c: LevelCoeffs) -> jax.Array:
+    """Off-diagonal part of the stencil: sum over faces of w_f * x_neighbor."""
+    out = jnp.zeros_like(x)
+    for axis, ew in enumerate((c.ew0, c.ew1, c.ew2)):
+        out = out + _face_lo(ew, axis) * _shift_m(x, axis)
+        out = out + _face_hi(ew, axis) * _shift_p(x, axis)
+    return out
+
+
+def apply_poisson(x: jax.Array, c: LevelCoeffs) -> jax.Array:
+    """y = A x over the solvable set (zero elsewhere).
+
+    Reference applyPoissonMatrix
+    (Source/HDK_GeometricMultigridOperators.h:621-714).
+    """
+    return c.diag * x - neighbor_sum(x, c)
+
+
+def residual(x: jax.Array, b: jax.Array, c: LevelCoeffs) -> jax.Array:
+    """r = b - A x, masked to the solvable set.
+
+    Reference computePoissonResidual
+    (Source/HDK_GeometricMultigridOperators.h:716-732).
+    """
+    r = b - apply_poisson(x, c)
+    return jnp.where(c.solvable, r, jnp.zeros_like(r))
+
+
+def jacobi_smooth(
+    x: jax.Array, b: jax.Array, c: LevelCoeffs, damping: float = 2.0 / 3.0
+) -> jax.Array:
+    """One damped Jacobi pass: x += damping * (b - A x) / diag.
+
+    inv_diag is zero outside the solvable set, so exterior/Dirichlet cells
+    are untouched.  Reference jacobiPoissonSmoother
+    (Source/HDK_GeometricMultigridOperators.h:262-367).
+    """
+    dtype = x.dtype
+    return x + dtype.type(damping) * c.inv_diag * (b - apply_poisson(x, c))
+
+
+def boundary_jacobi(
+    x: jax.Array, b: jax.Array, c: LevelCoeffs, damping: float = 2.0 / 3.0
+) -> jax.Array:
+    """One damped Jacobi pass restricted to the boundary band.
+
+    Reference boundaryJacobiPoissonSmoother
+    (Source/HDK_GeometricMultigridOperators.h:524-619): all band cells read
+    pre-update values (two-pass list semantics), which a masked simultaneous
+    update reproduces exactly.
+    """
+    dtype = x.dtype
+    update = x + dtype.type(damping) * c.inv_diag * (b - apply_poisson(x, c))
+    return jnp.where(c.band, update, x)
+
+
+def color_mask(shape, color: int) -> jax.Array:
+    """Checkerboard mask: cells with (i + j + k) % 2 == color."""
+    i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    k = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    return (i + j + k) % 2 == color
+
+
+def rb_gauss_seidel_color(
+    x: jax.Array, b: jax.Array, c: LevelCoeffs, color: int
+) -> jax.Array:
+    """One undamped Gauss-Seidel half-sweep over cells of one checkerboard color.
+
+    Within a color, no two updated cells are stencil neighbors, so the
+    simultaneous update is an exact Gauss-Seidel sub-sweep.
+    """
+    update = x + c.inv_diag * (b - apply_poisson(x, c))
+    return jnp.where(color_mask(x.shape, color), update, x)
+
+
+def rb_gauss_seidel(
+    x: jax.Array, b: jax.Array, c: LevelCoeffs, forward: bool
+) -> jax.Array:
+    """Full red/black Gauss-Seidel sweep.
+
+    forward=True (downstroke): red then black; forward=False (upstroke):
+    black then red -- the adjoint ordering the reference realizes with
+    odd/even tile order + in-tile sweep direction
+    (Source/HDK_GeometricMultigridPoissonSolver.cpp:466-479 vs 740-751).
+    """
+    order = (0, 1) if forward else (1, 0)
+    for color in order:
+        x = rb_gauss_seidel_color(x, b, c, color)
+    return x
