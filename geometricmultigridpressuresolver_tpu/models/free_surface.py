@@ -1,0 +1,349 @@
+"""Free-surface pressure projection pipeline (the flagship model).
+
+TPU-native equivalent of the reference's flagship node
+`HDK_GeometricFreeSurfacePressureSolver` (solveGasSubclass,
+Source/HDK_GeometricFreeSurfacePressureSolver.cpp:113-714), minus Houdini:
+SDF/velocity arrays in, pressure/projected velocity out.
+
+Pipeline (reference call stack SURVEY.md section 3.1):
+  1. material labels from liquid/solid SDFs + cut-cell weights
+     (buildMaterialCellLabels, Source/HDK_Utilities.cpp:86-148);
+  2. valid-face classification (classifyValidFaces, HDK_Utilities.h:138-195);
+  3. MG domain labels (LIQUID->INTERIOR, AIR->DIRICHLET, SOLID->EXTERIOR)
+     and boundary weights = cut-cell weight / clamped ghost-fluid theta on
+     liquid-air faces (cpp:746-865);
+  4. padded power-of-two domain expansion + BOUNDARY relabeling (L2 ops);
+  5. RHS = negative cut-cell divergence with solid-velocity terms
+     (buildRHS, cpp:867-943);
+  6. warm start from the previous pressure (applyOldPressure, cpp:945-997);
+  7. MGPCG solve (cpp:426-629);
+  8. pressure writeback, velocity -= grad(p) (with theta at liquid-air
+     faces) on valid faces (cpp:999-1131);
+  9. post-projection divergence audit (cpp:1133-1208).
+
+Setup (label/weight construction) runs on the host in numpy once per frame;
+the solve and the per-frame field updates are jittable JAX.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geometricmultigridpressuresolver_tpu.config import SolverConfig
+from geometricmultigridpressuresolver_tpu.grids import CellLabel, MaterialLabel
+from geometricmultigridpressuresolver_tpu.ops import domain as domain_ops
+from geometricmultigridpressuresolver_tpu.solver import cg as cg_mod
+from geometricmultigridpressuresolver_tpu.solver import mgpcg
+
+SOLID = int(MaterialLabel.SOLID)
+LIQUID = int(MaterialLabel.LIQUID)
+AIR = int(MaterialLabel.AIR)
+
+
+def _lo_hi(arr, axis):
+    lo = [slice(None)] * 3
+    hi = [slice(None)] * 3
+    lo[axis] = slice(0, -1)
+    hi[axis] = slice(1, None)
+    return arr[tuple(lo)], arr[tuple(hi)]
+
+
+def _face_lo(w, axis):
+    sl = [slice(None)] * 3
+    sl[axis] = slice(0, -1)
+    return w[tuple(sl)]
+
+
+def _face_hi(w, axis):
+    sl = [slice(None)] * 3
+    sl[axis] = slice(1, None)
+    return w[tuple(sl)]
+
+
+def ghost_fluid_theta(phi0, phi1):
+    """Fraction of the face segment inside the liquid.
+
+    Reference computeGhostFluidWeight (Source/HDK_Utilities.h:25-42).
+    """
+    xp = jnp if isinstance(phi0, jax.Array) else np
+    denom01 = phi0 - phi1
+    denom10 = phi1 - phi0
+    safe01 = xp.where(denom01 == 0, 1.0, denom01)
+    safe10 = xp.where(denom10 == 0, 1.0, denom10)
+    theta = xp.where(
+        phi0 < 0,
+        xp.where(phi1 < 0, 1.0, phi0 / safe01),
+        xp.where(phi1 < 0, phi1 / safe10, 0.0),
+    )
+    return theta
+
+
+def build_material_labels(
+    liquid_phi: np.ndarray,
+    cut_cell_weights: Sequence[np.ndarray],
+    solid_phi: np.ndarray | None = None,
+) -> np.ndarray:
+    """Material labels: SOLID unless an incident face is open; then LIQUID if
+    the cell passes isCellLiquid, else AIR.
+
+    Reference buildMaterialCellLabels + isCellLiquid
+    (Source/HDK_Utilities.cpp:86-148, 5-46).
+    """
+    liquid_phi = np.asarray(liquid_phi)
+    shape = liquid_phi.shape
+
+    has_open = np.zeros(shape, dtype=bool)
+    for axis in range(3):
+        w = np.asarray(cut_cell_weights[axis])
+        has_open |= _face_lo(w, axis) > 0
+        has_open |= _face_hi(w, axis) > 0
+
+    liquid = liquid_phi <= 0.0
+
+    if solid_phi is not None:
+        # A cell whose center is inside the solid still counts as liquid if
+        # an open face connects it to a liquid cell (sub-grid-resolution
+        # solids; reference isCellLiquid steps 1-3).
+        in_solid = np.asarray(solid_phi) >= 0.0
+        extra = np.zeros(shape, dtype=bool)
+        for axis in range(3):
+            w = np.asarray(cut_cell_weights[axis])
+            interior = [slice(None)] * 3
+            interior[axis] = slice(1, -1)
+            open_face = w[tuple(interior)] > 0
+            phi_lo, phi_hi = _lo_hi(liquid_phi, axis)
+            lo_v, hi_v = _lo_hi(extra, axis)
+            # open face to a liquid neighbor
+            np.logical_or(lo_v, open_face & (phi_hi <= 0), out=lo_v)
+            np.logical_or(hi_v, open_face & (phi_lo <= 0), out=hi_v)
+        liquid = liquid | (in_solid & extra)
+
+    labels = np.full(shape, SOLID, dtype=np.int8)
+    labels[has_open & liquid] = LIQUID
+    labels[has_open & ~liquid] = AIR
+    return labels
+
+
+def classify_valid_faces(
+    material: np.ndarray, cut_cell_weights: Sequence[np.ndarray]
+) -> list[np.ndarray]:
+    """Face is VALID iff its weight > 0, both cells are in bounds, and at
+    least one adjacent cell is LIQUID.
+
+    Reference classifyValidFaces (Source/HDK_Utilities.h:138-195).
+    """
+    valid = []
+    for axis in range(3):
+        w = np.asarray(cut_cell_weights[axis])
+        v = np.zeros(w.shape, dtype=bool)
+        interior = [slice(None)] * 3
+        interior[axis] = slice(1, -1)
+        lo_lbl, hi_lbl = _lo_hi(material, axis)
+        v[tuple(interior)] = (w[tuple(interior)] > 0) & (
+            (lo_lbl == LIQUID) | (hi_lbl == LIQUID)
+        )
+        valid.append(v)
+    return valid
+
+
+class ProjectionSetup(NamedTuple):
+    """Per-frame static data built on the host."""
+
+    problem: mgpcg.PoissonProblem
+    material: np.ndarray                 # (base shape) material labels
+    liquid_mask: jax.Array               # bool, base shape
+    valid_faces: tuple[jax.Array, ...]   # bool face arrays, base shape
+    weights: tuple[jax.Array, ...]       # cut-cell weights, base shape
+    grad_scale: tuple[jax.Array, ...]    # 1/theta on liquid-air valid faces
+    offset: tuple[int, int, int]
+    expanded_shape: tuple[int, int, int]
+
+
+def build_setup(
+    liquid_phi: np.ndarray,
+    cut_cell_weights: Sequence[np.ndarray],
+    solid_phi: np.ndarray | None = None,
+    config: SolverConfig = SolverConfig(),
+    validate: bool = False,
+) -> ProjectionSetup:
+    """Steps 1-4: labels, valid faces, MG domain + weights, expansion."""
+    liquid_phi = np.asarray(liquid_phi, dtype=np.float64)
+    material = build_material_labels(liquid_phi, cut_cell_weights, solid_phi)
+    valid = classify_valid_faces(material, cut_cell_weights)
+
+    # Material -> MG labels on the base grid.
+    mg_labels = np.full(material.shape, int(CellLabel.EXTERIOR), dtype=np.int8)
+    mg_labels[material == LIQUID] = int(CellLabel.INTERIOR)
+    mg_labels[material == AIR] = int(CellLabel.DIRICHLET)
+
+    # Boundary weights: cut-cell weight on valid faces, divided by the
+    # clamped ghost-fluid theta on liquid-air faces
+    # (Source/HDK_GeometricFreeSurfacePressureSolver.cpp:795-865).
+    theta_clamp = config.theta_clamp
+    mg_weights = []
+    grad_scale = []
+    for axis in range(3):
+        w = np.asarray(cut_cell_weights[axis], dtype=np.float64)
+        v = valid[axis]
+        interior = [slice(None)] * 3
+        interior[axis] = slice(1, -1)
+        interior = tuple(interior)
+
+        lbl_lo, lbl_hi = _lo_hi(material, axis)
+        phi_lo, phi_hi = _lo_hi(liquid_phi, axis)
+        liquid_air = ((lbl_lo == LIQUID) & (lbl_hi == AIR)) | (
+            (lbl_lo == AIR) & (lbl_hi == LIQUID)
+        )
+        theta = np.clip(ghost_fluid_theta(phi_lo, phi_hi), theta_clamp, 1.0)
+
+        bw = np.where(v, w, 0.0)
+        scale = np.ones(w.shape)
+        bw_int = bw[interior]
+        bw_int[liquid_air] /= theta[liquid_air]
+        bw[interior] = bw_int
+        s_int = scale[interior]
+        s_int[liquid_air & v[interior]] = 1.0 / theta[liquid_air & v[interior]]
+        scale[interior] = s_int
+        mg_weights.append(bw)
+        grad_scale.append(scale)
+
+    expanded, offset, mg_levels = domain_ops.expand_domain(mg_labels)
+    exp_weights = domain_ops.expand_face_weights(mg_weights, expanded.shape, offset)
+    labels = domain_ops.set_boundary_labels(expanded, exp_weights)
+    if validate:
+        assert domain_ops.check_boundary_cells(labels, exp_weights)
+        assert domain_ops.check_exterior_shell(labels)
+
+    problem = mgpcg.build_problem(labels, exp_weights, mg_levels, config, validate)
+    sd = config.solve_dtype
+    return ProjectionSetup(
+        problem=problem,
+        material=material,
+        liquid_mask=jnp.asarray(material == LIQUID),
+        valid_faces=tuple(jnp.asarray(v) for v in valid),
+        weights=tuple(jnp.asarray(w, dtype=sd) for w in cut_cell_weights),
+        grad_scale=tuple(jnp.asarray(s, dtype=sd) for s in grad_scale),
+        offset=offset,
+        expanded_shape=labels.shape,
+    )
+
+
+def _embed(base: jax.Array, expanded_shape, offset) -> jax.Array:
+    out = jnp.zeros(expanded_shape, dtype=base.dtype)
+    sl = tuple(slice(o, o + s) for o, s in zip(offset, base.shape))
+    return out.at[sl].set(base)
+
+
+def _extract(expanded: jax.Array, base_shape, offset) -> jax.Array:
+    sl = tuple(slice(o, o + s) for o, s in zip(offset, base_shape))
+    return expanded[sl]
+
+
+def negative_divergence(
+    liquid_mask: jax.Array,
+    velocity: Sequence[jax.Array],
+    weights: Sequence[jax.Array],
+    solid_velocity: Sequence[jax.Array] | None = None,
+) -> jax.Array:
+    """RHS on the base grid: per liquid cell, sum over faces of
+    sign * (w * u + (1 - w) * u_solid), sign +1 on lower faces.
+
+    Reference buildRHS (Source/HDK_GeometricFreeSurfacePressureSolver.cpp:867-943).
+    """
+    div = jnp.zeros(liquid_mask.shape, dtype=velocity[0].dtype)
+    for axis in range(3):
+        w = weights[axis]
+        u = velocity[axis]
+        flux = w * u
+        if solid_velocity is not None:
+            flux = flux + (1.0 - w) * solid_velocity[axis]
+        div = div + _face_lo(flux, axis) - _face_hi(flux, axis)
+    return jnp.where(liquid_mask, div, jnp.zeros_like(div))
+
+
+def apply_pressure_gradient(
+    velocity: Sequence[jax.Array],
+    pressure: jax.Array,
+    valid_faces: Sequence[jax.Array],
+    grad_scale: Sequence[jax.Array],
+) -> tuple[jax.Array, ...]:
+    """v -= grad(p) on valid faces, with the ghost-fluid 1/theta scale on
+    liquid-air faces.  Reference applyPressureGradient
+    (Source/HDK_GeometricFreeSurfacePressureSolver.cpp:1049-1131)."""
+    out = []
+    for axis in range(3):
+        u = velocity[axis]
+        interior = [slice(None)] * 3
+        interior[axis] = slice(1, -1)
+        interior = tuple(interior)
+        p_lo, p_hi = _lo_hi(pressure, axis)
+        grad = jnp.zeros_like(u)
+        grad = grad.at[interior].set((p_hi - p_lo) * grad_scale[axis][interior])
+        out.append(jnp.where(valid_faces[axis], u - grad, u))
+    return tuple(out)
+
+
+def divergence_stats(
+    liquid_mask: jax.Array,
+    velocity: Sequence[jax.Array],
+    weights: Sequence[jax.Array],
+    solid_velocity: Sequence[jax.Array] | None = None,
+):
+    """(max, accumulated, average) divergence over liquid cells.
+
+    Reference computeResultingDivergence
+    (Source/HDK_GeometricFreeSurfacePressureSolver.cpp:1133-1208); note the
+    sign is the true divergence (+ on upper faces), opposite of the RHS.
+    """
+    div = -negative_divergence(liquid_mask, velocity, weights, solid_velocity)
+    count = jnp.maximum(jnp.sum(liquid_mask), 1)
+    total = jnp.sum(div)
+    max_div = jnp.max(jnp.abs(div))
+    return max_div, total, total / count
+
+
+class ProjectionResult(NamedTuple):
+    pressure: jax.Array
+    velocity: tuple[jax.Array, ...]
+    cg: cg_mod.CGResult
+    max_divergence: jax.Array
+    avg_divergence: jax.Array
+
+
+def project(
+    setup: ProjectionSetup,
+    velocity: Sequence[jax.Array],
+    solid_velocity: Sequence[jax.Array] | None = None,
+    old_pressure: jax.Array | None = None,
+    config: SolverConfig = SolverConfig(),
+) -> ProjectionResult:
+    """Steps 5-9: RHS, warm start, MGPCG solve, writeback, audit."""
+    sd = config.solve_dtype
+    velocity = tuple(jnp.asarray(v, dtype=sd) for v in velocity)
+    if solid_velocity is not None:
+        solid_velocity = tuple(jnp.asarray(v, dtype=sd) for v in solid_velocity)
+
+    rhs_base = negative_divergence(setup.liquid_mask, velocity, setup.weights, solid_velocity)
+    rhs = _embed(rhs_base, setup.expanded_shape, setup.offset)
+
+    x0 = None
+    if config.use_old_pressure and old_pressure is not None:
+        warm = jnp.where(setup.liquid_mask, jnp.asarray(old_pressure, dtype=sd), 0.0)
+        x0 = _embed(warm, setup.expanded_shape, setup.offset)
+
+    cg_result = mgpcg.solve(setup.problem, rhs, x0=x0, config=config)
+
+    pressure = _extract(cg_result.x, setup.liquid_mask.shape, setup.offset)
+    pressure = jnp.where(setup.liquid_mask, pressure, jnp.zeros_like(pressure))
+
+    new_velocity = apply_pressure_gradient(
+        velocity, pressure, setup.valid_faces, setup.grad_scale
+    )
+    max_div, _, avg_div = divergence_stats(
+        setup.liquid_mask, new_velocity, setup.weights, solid_velocity
+    )
+    return ProjectionResult(pressure, new_velocity, cg_result, max_div, avg_div)

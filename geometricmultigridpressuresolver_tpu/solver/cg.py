@@ -1,0 +1,109 @@
+"""Matrix-free preconditioned conjugate gradient (JAX).
+
+Equivalent of the reference's grid-form PCG
+`solveGeometricConjugateGradient` (Source/HDK_GeometricCGPoissonSolver.h:18-207):
+textbook PCG over grid "vectors" with injected functors for A*x and the
+preconditioner, convergence test ||r||^2 < tol^2 * ||b||^2 (h:58-64),
+zero-RHS and already-converged early-outs (h:36-64), and an optional
+null-space projection for all-Neumann problems
+(reference Source/HDK_Utilities.h:197-297).
+
+The dynamic iteration count runs under `jax.lax.while_loop`, so the whole
+solve jits into a single XLA computation; reductions use a fixed tree and
+are deterministic run-to-run.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from geometricmultigridpressuresolver_tpu.ops import blas
+
+
+class CGResult(NamedTuple):
+    x: jax.Array
+    iterations: jax.Array       # int32
+    relative_residual: jax.Array  # ||r|| / ||b|| at exit (drifted recurrence)
+    converged: jax.Array        # bool
+
+
+class _State(NamedTuple):
+    x: jax.Array
+    r: jax.Array
+    p: jax.Array
+    rho: jax.Array
+    rr: jax.Array
+    iteration: jax.Array
+
+
+def solve_pcg(
+    apply_a: Callable[[jax.Array], jax.Array],
+    apply_preconditioner: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    solvable: jax.Array,
+    x0: jax.Array | None = None,
+    tolerance: float = 1e-5,
+    max_iterations: int = 2500,
+    project_null_space: bool = False,
+) -> CGResult:
+    """PCG solve of A x = b over the solvable set.  Pure and jittable."""
+    dtype = b.dtype
+    x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
+
+    def project(v):
+        return blas.project_null_space(v, solvable) if project_null_space else v
+
+    b = project(b)
+    b_norm2 = blas.squared_l2_norm(b, solvable)
+    threshold = dtype.type(tolerance) ** 2 * b_norm2
+
+    r = project(jnp.where(solvable, b - apply_a(x), jnp.zeros_like(b)))
+    z = project(apply_preconditioner(r))
+    rho0 = blas.dot(r, z, solvable)
+    rr0 = blas.squared_l2_norm(r, solvable)
+
+    def cond(s: _State):
+        return (s.rr > threshold) & (s.iteration < max_iterations)
+
+    def body(s: _State) -> _State:
+        ap = apply_a(s.p)
+        denom = blas.dot(s.p, ap, solvable)
+        alpha = s.rho / jnp.where(denom == 0, jnp.ones_like(denom), denom)
+        x = s.x + alpha * s.p
+        r = project(s.r - alpha * ap)
+        z = project(apply_preconditioner(r))
+        rho_new = blas.dot(r, z, solvable)
+        beta = rho_new / jnp.where(s.rho == 0, jnp.ones_like(s.rho), s.rho)
+        p = z + beta * s.p
+        rr = blas.squared_l2_norm(r, solvable)
+        return _State(x, r, p, rho_new, rr, s.iteration + 1)
+
+    init = _State(x, r, z, rho0, rr0, jnp.int32(0))
+    final = jax.lax.while_loop(cond, body, init)
+
+    # Zero-RHS early-out (reference HDK_GeometricCGPoissonSolver.h:36-40):
+    # with ||b|| = 0 the threshold is 0 and the loop never converges by the
+    # residual test alone, so select the trivial solution explicitly.
+    zero_rhs = b_norm2 == 0
+    x_out = jnp.where(zero_rhs, jnp.zeros_like(final.x), final.x)
+    safe_bnorm = jnp.where(zero_rhs, jnp.ones_like(b_norm2), b_norm2)
+    rel = jnp.sqrt(final.rr / safe_bnorm)
+    rel = jnp.where(zero_rhs, jnp.zeros_like(rel), rel)
+    converged = zero_rhs | (final.rr <= threshold)
+    iterations = jnp.where(zero_rhs, jnp.int32(0), final.iteration)
+    return CGResult(x_out, iterations, rel, converged)
+
+
+def recomputed_residual_norms(apply_a, x, b, solvable):
+    """Recompute ||b - Ax|| diagnostics (reference prints 'recomputed' vs
+    'drifted' residuals, Source/HDK_GeometricCGPoissonSolver.h:198-206).
+
+    Returns (relative_l2, l_infinity).
+    """
+    r = jnp.where(solvable, b - apply_a(x), jnp.zeros_like(b))
+    b_norm = blas.l2_norm(b, solvable)
+    safe = jnp.where(b_norm == 0, jnp.ones_like(b_norm), b_norm)
+    return blas.l2_norm(r, solvable) / safe, blas.inf_norm(r, solvable)

@@ -1,0 +1,98 @@
+"""MGPCG Poisson solver: V-cycle-preconditioned conjugate gradient.
+
+Ties the V-cycle engine to the PCG driver the way the reference's flagship
+node does (Source/HDK_GeometricFreeSurfacePressureSolver.cpp:426-629): one
+`applyVCycle` per CG iteration when `use_mg_preconditioner`, else the
+inverse-diagonal preconditioner (cpp:486-618).
+
+Mixed precision: the outer CG runs in `config.solve_dtype` while the
+V-cycle runs in `config.mg_dtype` (the reference README's named future
+evolution, README.md:34-35).  A preconditioner that is a fixed linear
+operator in lower precision is still a fixed symmetric operator, so CG
+remains valid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geometricmultigridpressuresolver_tpu.config import SolverConfig
+from geometricmultigridpressuresolver_tpu.ops import domain as domain_ops
+from geometricmultigridpressuresolver_tpu.ops import stencil
+from geometricmultigridpressuresolver_tpu.solver import cg as cg_mod
+from geometricmultigridpressuresolver_tpu.solver import mg as mg_mod
+
+
+class PoissonProblem(NamedTuple):
+    """Device-side static data for one label/weight set (a pytree)."""
+
+    fine: stencil.LevelCoeffs       # finest-level coeffs in solve dtype
+    hier: mg_mod.MGHierarchy        # V-cycle hierarchy in mg dtype
+
+
+def build_problem(
+    labels: np.ndarray,
+    face_weights: Sequence[np.ndarray] | None,
+    mg_levels: int,
+    config: SolverConfig = SolverConfig(),
+    validate: bool = False,
+) -> PoissonProblem:
+    """Host-side setup from expanded+relabeled labels (+ finest weights)."""
+    fine_host = domain_ops.build_level_coefficients(
+        labels, face_weights, config.boundary_width
+    )
+    fine = stencil.LevelCoeffs.from_host(fine_host, config.solve_dtype)
+    hier = mg_mod.build_hierarchy(labels, face_weights, mg_levels, config, validate)
+    return PoissonProblem(fine=fine, hier=hier)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "has_x0"))
+def _solve(problem: PoissonProblem, rhs, x0, config: SolverConfig, has_x0: bool):
+    fine = problem.fine
+    solve_dtype = config.solve_dtype
+
+    def apply_a(x):
+        return stencil.apply_poisson(x, fine)
+
+    if config.use_mg_preconditioner:
+        def preconditioner(r):
+            z = mg_mod.v_cycle(
+                problem.hier,
+                jnp.zeros_like(r, dtype=config.mg_dtype_resolved),
+                r,
+                config,
+                use_initial_guess=False,
+            )
+            return z.astype(solve_dtype)
+    else:
+        def preconditioner(r):
+            return fine.inv_diag * r
+
+    return cg_mod.solve_pcg(
+        apply_a,
+        preconditioner,
+        rhs.astype(solve_dtype),
+        fine.solvable,
+        x0=x0 if has_x0 else None,
+        tolerance=config.tolerance,
+        max_iterations=config.max_iterations,
+        project_null_space=config.project_null_space,
+    )
+
+
+def solve(
+    problem: PoissonProblem,
+    rhs: jax.Array,
+    x0: jax.Array | None = None,
+    config: SolverConfig = SolverConfig(),
+) -> cg_mod.CGResult:
+    """MGPCG solve of the dimensionless Poisson system over solvable cells."""
+    has_x0 = x0 is not None
+    if x0 is None:
+        x0 = jnp.zeros_like(rhs)
+    return _solve(problem, rhs, x0, config, has_x0)

@@ -1,0 +1,117 @@
+"""Free-surface pressure projection pipeline tests.
+
+End-to-end equivalents of the reference's flipSplash oracle: the projected
+velocity field must be (near-)divergence-free in the liquid, the recomputed
+residual must match the convergence claim, and warm starts must help
+(SURVEY.md section 4 item 3).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geometricmultigridpressuresolver_tpu.config import SolverConfig
+from geometricmultigridpressuresolver_tpu.models import free_surface, sdf
+from geometricmultigridpressuresolver_tpu.grids import MaterialLabel
+
+N = 24
+
+
+@pytest.fixture(scope="module")
+def splash_setup():
+    liquid_phi, velocity = sdf.splash_scene((N, N, N))
+    weights = sdf.open_box_weights((N, N, N))
+    config = SolverConfig(tolerance=1e-7)
+    setup = free_surface.build_setup(liquid_phi, weights, config=config, validate=True)
+    return liquid_phi, velocity, weights, config, setup
+
+
+def test_material_labels(splash_setup):
+    liquid_phi, _, weights, _, setup = splash_setup
+    material = setup.material
+    # Pool bottom region is liquid, top air; closed-box edge cells have at
+    # least one open face so nothing except nothing-open cells is SOLID.
+    assert (material == int(MaterialLabel.LIQUID)).sum() > 0
+    assert (material == int(MaterialLabel.AIR)).sum() > 0
+    inside = np.asarray(liquid_phi) <= 0
+    assert (material[inside] == int(MaterialLabel.LIQUID)).all()
+
+
+def test_projection_removes_divergence(splash_setup):
+    _, velocity, weights, config, setup = splash_setup
+    liquid_mask = setup.liquid_mask
+
+    pre_max, _, pre_avg = free_surface.divergence_stats(
+        liquid_mask, tuple(jnp.asarray(v) for v in velocity), setup.weights
+    )
+    result = free_surface.project(setup, velocity, config=config)
+    assert bool(result.cg.converged)
+
+    assert float(result.max_divergence) < 1e-6
+    assert float(result.max_divergence) < 1e-4 * float(pre_max)
+    # Pressure lives only in liquid cells.
+    p = np.asarray(result.pressure)
+    assert (p[~np.asarray(liquid_mask)] == 0).all()
+
+
+def test_warm_start_reduces_iterations(splash_setup):
+    _, velocity, weights, config, setup = splash_setup
+    first = free_surface.project(setup, velocity, config=config)
+    warm = free_surface.project(
+        setup, velocity, old_pressure=first.pressure, config=config
+    )
+    assert int(warm.cg.iterations) < int(first.cg.iterations)
+
+
+def test_solid_sphere_scene():
+    """Interior solid (Neumann) obstacle with true cut-cell weights."""
+    shape = (N, N, N)
+    liquid_phi, velocity = sdf.splash_scene(shape, pool_height=0.6)
+
+    def solid_fn(pts):
+        # solid sphere: positive inside the solid
+        return -sdf.sphere_sdf(pts, (0.5, 0.3, 0.5), 0.15)
+
+    weights = sdf.face_weights_from_solid(solid_fn, shape)
+    points, _ = sdf.cell_centers(shape)
+    solid_phi = solid_fn(points)
+
+    config = SolverConfig(tolerance=1e-7)
+    setup = free_surface.build_setup(
+        liquid_phi, weights, solid_phi=solid_phi, config=config, validate=True
+    )
+    result = free_surface.project(setup, velocity, config=config)
+    assert bool(result.cg.converged)
+    assert float(result.max_divergence) < 1e-6
+
+
+def test_moving_solid_velocity():
+    """Solid-velocity divergence terms: a closed box moving with the fluid
+    produces compatible RHS contributions on cut faces."""
+    shape = (N, N, N)
+    liquid_phi, _ = sdf.splash_scene(shape, pool_height=0.5)
+
+    def solid_fn(pts):
+        return -sdf.sphere_sdf(pts, (0.5, 0.35, 0.5), 0.12)
+
+    weights = sdf.face_weights_from_solid(solid_fn, shape)
+    points, _ = sdf.cell_centers(shape)
+    solid_phi = solid_fn(points)
+
+    from geometricmultigridpressuresolver_tpu.grids import face_shape
+
+    # Zero liquid velocity; the solid pushes up through cut faces.
+    velocity = tuple(np.zeros(face_shape(shape, a)) for a in range(3))
+    solid_velocity = [np.zeros(face_shape(shape, a)) for a in range(3)]
+    solid_velocity[1][:] = 0.5  # solid moving +y
+
+    config = SolverConfig(tolerance=1e-7)
+    setup = free_surface.build_setup(
+        liquid_phi, weights, solid_phi=solid_phi, config=config
+    )
+    result = free_surface.project(
+        setup, velocity, solid_velocity=tuple(solid_velocity), config=config
+    )
+    assert bool(result.cg.converged)
+    # The solve reacts to the moving solid: nonzero pressure.
+    assert float(jnp.max(jnp.abs(result.pressure))) > 0
