@@ -1,0 +1,105 @@
+"""Headline benchmark: 256^3 free-surface MGPCG pressure solve, DOF/s per chip.
+
+Matches BASELINE.md's north-star config: a free-surface splash scene at
+256^3 (expanded to 512^3 by the multigrid padding rule, exactly as the
+reference does), solved by V-cycle-preconditioned CG to the reference
+node's default tolerance 1e-5
+(reference Source/HDK_GeometricFreeSurfacePressureSolver.cpp:65) in fp32.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": DOF/s, "unit": "dof/s", "vs_baseline": ratio}
+
+The reference publishes no numbers (BASELINE.md), so `vs_baseline` is
+measured against a documented estimate of the reference's CPU throughput:
+~7.4M liquid DOFs at 256^3 solved in ~7.5 s on a modern multicore CPU
+=> 1.0e6 DOF/s.  That estimate is deliberately generous to the reference.
+
+Environment knobs: BENCH_N (default 256), BENCH_TOL (default 1e-5),
+BENCH_REPS (default 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+BASELINE_DOF_PER_S = 1.0e6  # documented estimate; reference publishes nothing
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from geometricmultigridpressuresolver_tpu.config import SolverConfig
+    from geometricmultigridpressuresolver_tpu.models import free_surface, sdf
+    from geometricmultigridpressuresolver_tpu.solver import mgpcg
+
+    n = int(os.environ.get("BENCH_N", "256"))
+    tol = float(os.environ.get("BENCH_TOL", "1e-5"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    log(f"bench: {n}^3 free-surface MGPCG, tol={tol}, device={jax.devices()[0]}")
+
+    config = SolverConfig(
+        solve_dtype=jnp.float32,
+        mg_dtype=jnp.float32,
+        tolerance=tol,
+        max_iterations=200,
+    )
+
+    t0 = time.time()
+    liquid_phi, velocity = sdf.splash_scene((n, n, n))
+    weights = sdf.open_box_weights((n, n, n))
+    setup = free_surface.build_setup(liquid_phi, weights, config=config)
+    log(f"setup (host) in {time.time() - t0:.1f}s; expanded {setup.expanded_shape}")
+
+    ndof = int(np.asarray(setup.problem.fine.solvable).sum())
+    log(f"liquid DOFs: {ndof:,}")
+
+    velocity = tuple(jnp.asarray(v, dtype=jnp.float32) for v in velocity)
+    rhs_base = free_surface.negative_divergence(setup.liquid_mask, velocity, setup.weights)
+    rhs = free_surface._embed(rhs_base, setup.expanded_shape, setup.offset)
+
+    # Warmup/compile.
+    t0 = time.time()
+    result = mgpcg.solve(setup.problem, rhs, config=config)
+    jax.block_until_ready(result.x)
+    log(
+        f"warmup (compile+solve) {time.time() - t0:.1f}s; "
+        f"iters={int(result.iterations)} rel={float(result.relative_residual):.2e} "
+        f"converged={bool(result.converged)}"
+    )
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        result = mgpcg.solve(setup.problem, rhs, config=config)
+        jax.block_until_ready(result.x)
+        times.append(time.time() - t0)
+    best = min(times)
+    log(f"solve times: {[f'{t:.3f}' for t in times]}")
+
+    dof_per_s = ndof / best
+    print(
+        json.dumps(
+            {
+                "metric": f"{n}^3 free-surface MGPCG solve throughput (tol {tol:g}, "
+                f"{int(result.iterations)} iters)",
+                "value": round(dof_per_s, 1),
+                "unit": "dof/s",
+                "vs_baseline": round(dof_per_s / BASELINE_DOF_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

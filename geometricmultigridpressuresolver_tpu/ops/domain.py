@@ -224,8 +224,12 @@ def build_level_coefficients(
                          (6.0 on INTERIOR cells), 0 on non-solvable cells.
       * ``inv_diag``  -- 1/diag on solvable cells, 0 elsewhere (doubles as
                          the solvable mask for smoother updates).
-      * ``ew[axis]``  -- off-diagonal edge weight per face: w_f where both
-                         adjacent cells are solvable, else 0.
+      * ``ew[axis]``  -- off-diagonal edge weights stored cell-shaped:
+                         ``ew[axis][..., i, ...]`` is w_f of the face between
+                         cell i and i+1 along `axis` where both cells are
+                         solvable, else 0 (the last entry is the domain-edge
+                         face, always 0).  Cell-shaped storage keeps every
+                         hot-loop array the same shape for SPMD sharding.
       * ``solvable``  -- bool DOF mask.
       * ``band``      -- bool boundary smoothing band mask.
 
@@ -258,9 +262,15 @@ def build_level_coefficients(
 
         counts = (lo_lbl != EXT) & (hi_lbl != EXT)
         ew = np.where(is_solvable(lo_lbl) & is_solvable(hi_lbl), wf, 0.0)
-        full_ew = np.zeros_like(w)
-        full_ew[interior_faces] = ew
-        edge_weights.append(full_ew)
+        # Stored cell-shaped: entry i is the off-diagonal weight of the face
+        # between cell i and cell i+1 (the last entry is the domain-edge
+        # face, always 0 thanks to the exterior shell).  Cell-shaped
+        # coefficients keep every hot-loop array uniformly shardable.
+        cell_ew = np.zeros(labels.shape, dtype=np.float64)
+        sl = [slice(None)] * 3
+        sl[axis] = slice(0, -1)
+        cell_ew[tuple(sl)] = ew
+        edge_weights.append(cell_ew)
 
         # Diagonal contributions: the face contributes w_f to the diagonal of
         # each adjacent *solvable* cell whenever the opposite cell is not

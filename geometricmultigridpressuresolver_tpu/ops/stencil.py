@@ -40,18 +40,21 @@ import jax.numpy as jnp
 class LevelCoeffs(NamedTuple):
     """Static per-level stencil coefficients (a pytree of device arrays).
 
-    ew0/ew1/ew2 are per-axis face arrays of off-diagonal edge weights,
-    nonzero only on faces between two solvable cells.  diag/inv_diag are
-    zero on non-solvable cells, so operators are implicitly masked.
+    ew0/ew1/ew2 are per-axis off-diagonal edge weights stored CELL-shaped:
+    entry i along the axis is the weight of the face between cell i and cell
+    i+1, nonzero only when both cells are solvable (the final entry is the
+    domain-edge face, always 0).  diag/inv_diag are zero on non-solvable
+    cells, so operators are implicitly masked.  Every array shares the cell
+    grid shape, which keeps SPMD sharding uniform.
     """
 
     solvable: jax.Array  # bool  (nx, ny, nz)
     band: jax.Array      # bool  (nx, ny, nz)
     diag: jax.Array      # float (nx, ny, nz)
     inv_diag: jax.Array  # float (nx, ny, nz)
-    ew0: jax.Array       # float (nx+1, ny, nz)
-    ew1: jax.Array       # float (nx, ny+1, nz)
-    ew2: jax.Array       # float (nx, ny, nz+1)
+    ew0: jax.Array       # float (nx, ny, nz)
+    ew1: jax.Array       # float (nx, ny, nz)
+    ew2: jax.Array       # float (nx, ny, nz)
 
     @classmethod
     def from_host(cls, coeffs: dict, dtype) -> "LevelCoeffs":
@@ -100,26 +103,17 @@ def _shift_p(x: jax.Array, axis: int) -> jax.Array:
     return jnp.pad(x, pad)[tuple(sl)]
 
 
-def _face_lo(w: jax.Array, axis: int) -> jax.Array:
-    """Lower-face weight of each cell (cell-shaped view of a face array)."""
-    sl = [slice(None)] * w.ndim
-    sl[axis] = slice(0, -1)
-    return w[tuple(sl)]
-
-
-def _face_hi(w: jax.Array, axis: int) -> jax.Array:
-    """Upper-face weight of each cell."""
-    sl = [slice(None)] * w.ndim
-    sl[axis] = slice(1, None)
-    return w[tuple(sl)]
-
-
 def neighbor_sum(x: jax.Array, c: LevelCoeffs) -> jax.Array:
-    """Off-diagonal part of the stencil: sum over faces of w_f * x_neighbor."""
+    """Off-diagonal part of the stencil: sum over faces of w_f * x_neighbor.
+
+    With cell-shaped upper-face weights e (e[i] = weight of the face between
+    cells i and i+1): S[i] = e[i] * x[i+1] + e[i-1] * x[i-1]
+                           = (e * x+)[i] + shift_m(e * x)[i].
+    """
     out = jnp.zeros_like(x)
     for axis, ew in enumerate((c.ew0, c.ew1, c.ew2)):
-        out = out + _face_lo(ew, axis) * _shift_m(x, axis)
-        out = out + _face_hi(ew, axis) * _shift_p(x, axis)
+        out = out + ew * _shift_p(x, axis)
+        out = out + _shift_m(ew * x, axis)
     return out
 
 

@@ -43,11 +43,16 @@ def build_problem(
     validate: bool = False,
 ) -> PoissonProblem:
     """Host-side setup from expanded+relabeled labels (+ finest weights)."""
-    fine_host = domain_ops.build_level_coefficients(
-        labels, face_weights, config.boundary_width
-    )
-    fine = stencil.LevelCoeffs.from_host(fine_host, config.solve_dtype)
     hier = mg_mod.build_hierarchy(labels, face_weights, mg_levels, config, validate)
+    if config.mg_dtype_resolved == config.solve_dtype:
+        # Same precision: the hierarchy's finest level doubles as the CG
+        # operator (saves one full-resolution coefficient set).
+        fine = hier.levels[0]
+    else:
+        fine_host = domain_ops.build_level_coefficients(
+            labels, face_weights, config.boundary_width
+        )
+        fine = stencil.LevelCoeffs.from_host(fine_host, config.solve_dtype)
     return PoissonProblem(fine=fine, hier=hier)
 
 

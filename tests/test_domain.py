@@ -107,18 +107,23 @@ def test_level_coefficients_interior_diag():
     assert (diag[labeled == INT] == 6.0).all()
     assert (diag[labeled == BND] > 0).all()
     assert (diag[(labeled == EXT) | (labeled == DIR)] == 0).all()
-    # Off-diagonal edge weights vanish on faces touching non-solvable cells.
+    # Cell-shaped edge weights: entry i along the axis is the weight of the
+    # face between cell i and i+1; it vanishes unless both cells are solvable.
     for axis in range(3):
         ew = coeffs["ew"][axis]
+        assert ew.shape == labeled.shape
         lo = [slice(None)] * 3
         hi = [slice(None)] * 3
         lo[axis] = slice(0, -1)
         hi[axis] = slice(1, None)
-        interior = [slice(None)] * 3
-        interior[axis] = slice(1, -1)
         both_solvable = (labeled[tuple(lo)] >= INT) & (labeled[tuple(hi)] >= INT)
-        assert (ew[tuple(interior)][~both_solvable] == 0).all()
-        assert (ew[tuple(interior)][both_solvable] == 1).all()
+        ew_faces = ew[tuple(lo)]
+        assert (ew_faces[~both_solvable] == 0).all()
+        assert (ew_faces[both_solvable] == 1).all()
+        # Domain-edge entry is always zero.
+        edge = [slice(None)] * 3
+        edge[axis] = -1
+        assert (ew[tuple(edge)] == 0).all()
 
 
 def test_level_capping():
