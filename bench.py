@@ -56,8 +56,8 @@ def main() -> None:
     )
 
     t0 = time.time()
-    liquid_phi, velocity = sdf.splash_scene((n, n, n))
-    weights = sdf.open_box_weights((n, n, n))
+    liquid_phi, velocity = sdf.splash_scene((n, n, n), xp=jnp)
+    weights = sdf.open_box_weights((n, n, n), xp=jnp)
     setup = free_surface.build_setup(liquid_phi, weights, config=config)
     log(f"setup (host) in {time.time() - t0:.1f}s; expanded {setup.expanded_shape}")
 

@@ -82,25 +82,36 @@ def ghost_fluid_theta(phi0, phi1):
     return theta
 
 
+def _xp(arr):
+    return jnp if isinstance(arr, (jax.Array, jax.core.Tracer)) else np
+
+
+def _pad_axis(arr, axis, before, after, fill):
+    xp = _xp(arr)
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (before, after)
+    return xp.pad(arr, pad, constant_values=fill)
+
+
 def build_material_labels(
-    liquid_phi: np.ndarray,
-    cut_cell_weights: Sequence[np.ndarray],
-    solid_phi: np.ndarray | None = None,
-) -> np.ndarray:
+    liquid_phi,
+    cut_cell_weights: Sequence,
+    solid_phi=None,
+):
     """Material labels: SOLID unless an incident face is open; then LIQUID if
     the cell passes isCellLiquid, else AIR.
 
     Reference buildMaterialCellLabels + isCellLiquid
-    (Source/HDK_Utilities.cpp:86-148, 5-46).
+    (Source/HDK_Utilities.cpp:86-148, 5-46).  Functional: runs on numpy or
+    on device under jit.
     """
-    liquid_phi = np.asarray(liquid_phi)
+    xp = _xp(liquid_phi)
     shape = liquid_phi.shape
 
-    has_open = np.zeros(shape, dtype=bool)
+    has_open = xp.zeros(shape, dtype=bool)
     for axis in range(3):
-        w = np.asarray(cut_cell_weights[axis])
-        has_open |= _face_lo(w, axis) > 0
-        has_open |= _face_hi(w, axis) > 0
+        w = cut_cell_weights[axis]
+        has_open = has_open | (_face_lo(w, axis) > 0) | (_face_hi(w, axis) > 0)
 
     liquid = liquid_phi <= 0.0
 
@@ -108,29 +119,25 @@ def build_material_labels(
         # A cell whose center is inside the solid still counts as liquid if
         # an open face connects it to a liquid cell (sub-grid-resolution
         # solids; reference isCellLiquid steps 1-3).
-        in_solid = np.asarray(solid_phi) >= 0.0
-        extra = np.zeros(shape, dtype=bool)
+        in_solid = solid_phi >= 0.0
+        extra = xp.zeros(shape, dtype=bool)
         for axis in range(3):
-            w = np.asarray(cut_cell_weights[axis])
+            w = cut_cell_weights[axis]
             interior = [slice(None)] * 3
             interior[axis] = slice(1, -1)
             open_face = w[tuple(interior)] > 0
             phi_lo, phi_hi = _lo_hi(liquid_phi, axis)
-            lo_v, hi_v = _lo_hi(extra, axis)
-            # open face to a liquid neighbor
-            np.logical_or(lo_v, open_face & (phi_hi <= 0), out=lo_v)
-            np.logical_or(hi_v, open_face & (phi_lo <= 0), out=hi_v)
+            # open face to a liquid neighbor, padded back to cell shape
+            extra = extra | _pad_axis(open_face & (phi_hi <= 0), axis, 0, 1, False)
+            extra = extra | _pad_axis(open_face & (phi_lo <= 0), axis, 1, 0, False)
         liquid = liquid | (in_solid & extra)
 
-    labels = np.full(shape, SOLID, dtype=np.int8)
-    labels[has_open & liquid] = LIQUID
-    labels[has_open & ~liquid] = AIR
-    return labels
+    return xp.where(
+        has_open, xp.where(liquid, LIQUID, AIR), SOLID
+    ).astype(np.int8)
 
 
-def classify_valid_faces(
-    material: np.ndarray, cut_cell_weights: Sequence[np.ndarray]
-) -> list[np.ndarray]:
+def classify_valid_faces(material, cut_cell_weights: Sequence) -> list:
     """Face is VALID iff its weight > 0, both cells are in bounds, and at
     least one adjacent cell is LIQUID.
 
@@ -138,15 +145,12 @@ def classify_valid_faces(
     """
     valid = []
     for axis in range(3):
-        w = np.asarray(cut_cell_weights[axis])
-        v = np.zeros(w.shape, dtype=bool)
+        w = cut_cell_weights[axis]
         interior = [slice(None)] * 3
         interior[axis] = slice(1, -1)
         lo_lbl, hi_lbl = _lo_hi(material, axis)
-        v[tuple(interior)] = (w[tuple(interior)] > 0) & (
-            (lo_lbl == LIQUID) | (hi_lbl == LIQUID)
-        )
-        valid.append(v)
+        v_int = (w[tuple(interior)] > 0) & ((lo_lbl == LIQUID) | (hi_lbl == LIQUID))
+        valid.append(_pad_axis(v_int, axis, 1, 1, False))
     return valid
 
 
@@ -154,7 +158,7 @@ class ProjectionSetup(NamedTuple):
     """Per-frame static data built on the host."""
 
     problem: mgpcg.PoissonProblem
-    material: np.ndarray                 # (base shape) material labels
+    material: jax.Array                  # int8 (base shape) material labels
     liquid_mask: jax.Array               # bool, base shape
     valid_faces: tuple[jax.Array, ...]   # bool face arrays, base shape
     weights: tuple[jax.Array, ...]       # cut-cell weights, base shape
@@ -163,72 +167,103 @@ class ProjectionSetup(NamedTuple):
     expanded_shape: tuple[int, int, int]
 
 
-def build_setup(
-    liquid_phi: np.ndarray,
-    cut_cell_weights: Sequence[np.ndarray],
-    solid_phi: np.ndarray | None = None,
-    config: SolverConfig = SolverConfig(),
-    validate: bool = False,
-) -> ProjectionSetup:
-    """Steps 1-4: labels, valid faces, MG domain + weights, expansion."""
-    liquid_phi = np.asarray(liquid_phi, dtype=np.float64)
+def _setup_fields(
+    liquid_phi,
+    cut_cell_weights,
+    solid_phi,
+    theta_clamp: float,
+    dtype,
+):
+    """Steps 1-4 array work: labels, valid faces, MG weights, expansion.
+
+    Functional, so it runs under jit on the device (production) or eagerly
+    on host numpy arrays (tests/oracles use the pieces directly).
+    """
+    xp = _xp(liquid_phi)
     material = build_material_labels(liquid_phi, cut_cell_weights, solid_phi)
     valid = classify_valid_faces(material, cut_cell_weights)
 
     # Material -> MG labels on the base grid.
-    mg_labels = np.full(material.shape, int(CellLabel.EXTERIOR), dtype=np.int8)
-    mg_labels[material == LIQUID] = int(CellLabel.INTERIOR)
-    mg_labels[material == AIR] = int(CellLabel.DIRICHLET)
+    mg_labels = xp.where(
+        material == LIQUID,
+        int(CellLabel.INTERIOR),
+        xp.where(material == AIR, int(CellLabel.DIRICHLET), int(CellLabel.EXTERIOR)),
+    ).astype(np.int8)
 
     # Boundary weights: cut-cell weight on valid faces, divided by the
     # clamped ghost-fluid theta on liquid-air faces
     # (Source/HDK_GeometricFreeSurfacePressureSolver.cpp:795-865).
-    theta_clamp = config.theta_clamp
     mg_weights = []
     grad_scale = []
     for axis in range(3):
-        w = np.asarray(cut_cell_weights[axis], dtype=np.float64)
+        w = cut_cell_weights[axis].astype(dtype)
         v = valid[axis]
-        interior = [slice(None)] * 3
-        interior[axis] = slice(1, -1)
-        interior = tuple(interior)
-
         lbl_lo, lbl_hi = _lo_hi(material, axis)
         phi_lo, phi_hi = _lo_hi(liquid_phi, axis)
         liquid_air = ((lbl_lo == LIQUID) & (lbl_hi == AIR)) | (
             (lbl_lo == AIR) & (lbl_hi == LIQUID)
         )
-        theta = np.clip(ghost_fluid_theta(phi_lo, phi_hi), theta_clamp, 1.0)
+        theta = xp.clip(ghost_fluid_theta(phi_lo, phi_hi), theta_clamp, 1.0).astype(dtype)
 
-        bw = np.where(v, w, 0.0)
-        scale = np.ones(w.shape)
-        bw_int = bw[interior]
-        bw_int[liquid_air] /= theta[liquid_air]
-        bw[interior] = bw_int
-        s_int = scale[interior]
-        s_int[liquid_air & v[interior]] = 1.0 / theta[liquid_air & v[interior]]
-        scale[interior] = s_int
+        inv_theta = _pad_axis(
+            xp.where(liquid_air, 1.0 / theta, xp.ones_like(theta)), axis, 1, 1, 1.0
+        )
+        bw = xp.where(v, w * inv_theta, xp.zeros_like(w))
+        # Gradient scale: 1/theta on valid liquid-air faces, 1 elsewhere
+        # (reference applyPressureGradient, cpp:1049-1131).
+        scale = xp.where(v, inv_theta, xp.ones_like(inv_theta))
         mg_weights.append(bw)
         grad_scale.append(scale)
 
-    expanded, offset, mg_levels = domain_ops.expand_domain(mg_labels)
+    expanded, offset, _ = domain_ops.expand_domain(mg_labels)
     exp_weights = domain_ops.expand_face_weights(mg_weights, expanded.shape, offset)
     labels = domain_ops.set_boundary_labels(expanded, exp_weights)
+    return material, valid, grad_scale, labels, exp_weights
+
+
+def build_setup(
+    liquid_phi,
+    cut_cell_weights: Sequence,
+    solid_phi=None,
+    config: SolverConfig = SolverConfig(),
+    validate: bool = False,
+) -> ProjectionSetup:
+    """Steps 1-4: labels, valid faces, MG domain + weights, expansion.
+
+    All heavy array work runs on the device (the grids may be 512^3; build
+    hosts may have one slow CPU core), then the hierarchy is built level by
+    level on the device as well.
+    """
+    sd = config.solve_dtype
+    liquid_phi = jnp.asarray(liquid_phi, dtype=sd)
+    cut_cell_weights = tuple(jnp.asarray(w, dtype=sd) for w in cut_cell_weights)
+    if solid_phi is not None:
+        solid_phi = jnp.asarray(solid_phi, dtype=sd)
+
+    mg_levels, padding, _ = domain_ops.expansion_params(liquid_phi.shape)
+    offset = (padding, padding, padding)
+
+    fields = jax.jit(
+        _setup_fields, static_argnames=("theta_clamp", "dtype")
+    )(liquid_phi, cut_cell_weights, solid_phi, config.theta_clamp, sd)
+    material, valid, grad_scale, labels, exp_weights = fields
+
     if validate:
-        assert domain_ops.check_boundary_cells(labels, exp_weights)
-        assert domain_ops.check_exterior_shell(labels)
+        labels_np = np.asarray(labels)
+        exp_w_np = [np.asarray(w) for w in exp_weights]
+        assert domain_ops.check_boundary_cells(labels_np, exp_w_np)
+        assert domain_ops.check_exterior_shell(labels_np)
 
     problem = mgpcg.build_problem(labels, exp_weights, mg_levels, config, validate)
-    sd = config.solve_dtype
     return ProjectionSetup(
         problem=problem,
         material=material,
-        liquid_mask=jnp.asarray(material == LIQUID),
-        valid_faces=tuple(jnp.asarray(v) for v in valid),
-        weights=tuple(jnp.asarray(w, dtype=sd) for w in cut_cell_weights),
-        grad_scale=tuple(jnp.asarray(s, dtype=sd) for s in grad_scale),
+        liquid_mask=material == LIQUID,
+        valid_faces=tuple(valid),
+        weights=cut_cell_weights,
+        grad_scale=tuple(grad_scale),
         offset=offset,
-        expanded_shape=labels.shape,
+        expanded_shape=tuple(labels.shape),
     )
 
 

@@ -6,6 +6,10 @@ Source/HDK_TestGeometricMultigrid.cpp:233-360: sine-wave Dirichlet surface,
 solid sphere with cut-cell weights via computeSDFWeightsFace, domain-edge
 faces zeroed).
 
+Every generator takes an `xp` array module (numpy by default, jax.numpy for
+device-resident generation: at 256^3+ the scene build must run on the TPU
+because build hosts may have a single slow CPU core).
+
 Conventions:
   * liquid SDF `phi`: cell-centered, <= 0 inside the liquid;
   * solid SDF: cell-centered samples, >= 0 inside the solid (matches the
@@ -24,17 +28,19 @@ import numpy as np
 from geometricmultigridpressuresolver_tpu.grids import face_shape
 
 
-def cell_centers(shape, dx: float = None):
+def cell_centers(shape, dx: float | None = None, xp=np):
     """Cell-center coordinates in [0,1]^3 (dx = 1/max(shape) by default)."""
     if dx is None:
         dx = 1.0 / max(shape)
-    axes = [(np.arange(s) + 0.5) * dx for s in shape]
-    return np.meshgrid(*axes, indexing="ij"), dx
+    axes = [(xp.arange(s) + 0.5) * dx for s in shape]
+    return xp.meshgrid(*axes, indexing="ij"), dx
 
 
-def sphere_sdf(points, center, radius):
+def sphere_sdf(points, center, radius, xp=np):
     x, y, z = points
-    return np.sqrt((x - center[0]) ** 2 + (y - center[1]) ** 2 + (z - center[2]) ** 2) - radius
+    return xp.sqrt(
+        (x - center[0]) ** 2 + (y - center[1]) ** 2 + (z - center[2]) ** 2
+    ) - radius
 
 
 def pool_sdf(points, height):
@@ -42,15 +48,23 @@ def pool_sdf(points, height):
     return points[1] - height
 
 
-def splash_scene(shape, pool_height=0.35, drop_center=(0.5, 0.7, 0.5), drop_radius=0.15):
+def splash_scene(
+    shape,
+    pool_height=0.35,
+    drop_center=(0.5, 0.7, 0.5),
+    drop_radius=0.15,
+    xp=np,
+):
     """flipSplash-style scene: a pool plus a falling liquid drop.
 
-    Returns (liquid_phi, velocity) where the drop carries downward velocity.
+    Returns (liquid_phi, velocity).  The drop carries downward velocity with
+    a jump at its surface, and the x-component is compressive, so the
+    pre-projection velocity has nonzero divergence throughout the liquid.
     """
-    points, dx = cell_centers(shape)
+    points, dx = cell_centers(shape, xp=xp)
     phi_pool = pool_sdf(points, pool_height)
-    phi_drop = sphere_sdf(points, drop_center, drop_radius)
-    liquid_phi = np.minimum(phi_pool, phi_drop)
+    phi_drop = sphere_sdf(points, drop_center, drop_radius, xp=xp)
+    liquid_phi = xp.minimum(phi_pool, phi_drop)
 
     velocity = []
     for axis in range(3):
@@ -58,23 +72,25 @@ def splash_scene(shape, pool_height=0.35, drop_center=(0.5, 0.7, 0.5), drop_radi
         for a in range(3):
             n = shape[a] + (1 if a == axis else 0)
             offset = 0.0 if a == axis else 0.5
-            coords.append((np.arange(n) + offset) * dx)
-        gx, gy, gz = np.meshgrid(*coords, indexing="ij")
+            coords.append((xp.arange(n) + offset) * dx)
+        gx, gy, gz = xp.meshgrid(*coords, indexing="ij")
         if axis == 0:
             # Compressive x-component: nonzero divergence everywhere.
-            v = 0.3 * np.sin(2.0 * np.pi * gx)
+            v = 0.3 * xp.sin(2.0 * np.pi * gx)
         elif axis == 1:
             # Downward velocity inside the falling drop only, so drop-surface
             # cells see a velocity jump.
-            v = np.where(sphere_sdf((gx, gy, gz), drop_center, drop_radius) <= 0, -1.0, 0.0)
+            inside = sphere_sdf((gx, gy, gz), drop_center, drop_radius, xp=xp) <= 0
+            v = xp.where(inside, -1.0, 0.0)
         else:
-            v = np.zeros(face_shape(shape, axis))
+            v = xp.zeros(face_shape(shape, axis))
         velocity.append(v)
     return liquid_phi, velocity
 
 
 def face_weights_from_solid(
-    solid_fn, shape, dx: float = None, clamp: float = 0.01, samples: int = 4
+    solid_fn, shape, dx: float | None = None, clamp: float = 0.01,
+    samples: int = 4, xp=np,
 ):
     """Cut-cell face weights: supersampled fraction of each face open to fluid.
 
@@ -90,37 +106,38 @@ def face_weights_from_solid(
     weights = []
     for axis in range(3):
         fshape = face_shape(shape, axis)
-        coords = []
-        for a in range(3):
-            if a == axis:
-                coords.append(np.arange(fshape[a]) * dx)  # face planes
-            else:
-                coords.append(np.arange(fshape[a]) * dx)  # cell lower corners
-        w = np.zeros(fshape)
+        coords = [xp.arange(fshape[a]) * dx for a in range(3)]
+        w = xp.zeros(fshape)
         tangent = [a for a in range(3) if a != axis]
         for o1 in offsets:
             for o2 in offsets:
                 shift = [0.0, 0.0, 0.0]
-                shift[tangent[0]] = o1 * dx
-                shift[tangent[1]] = o2 * dx
-                grid = np.meshgrid(
-                    coords[0] + shift[0], coords[1] + shift[1], coords[2] + shift[2],
+                shift[tangent[0]] = float(o1) * dx
+                shift[tangent[1]] = float(o2) * dx
+                grid = xp.meshgrid(
+                    coords[0] + shift[0],
+                    coords[1] + shift[1],
+                    coords[2] + shift[2],
                     indexing="ij",
                 )
-                w += (solid_fn(grid) < 0).astype(np.float64)
-        w /= samples * samples
-        w[w < clamp] = 0.0
+                w = w + (solid_fn(grid) < 0).astype(np.float64)
+        w = w / (samples * samples)
+        w = xp.where(w < clamp, 0.0, w)
 
         # Close the domain boundary faces.
+        mask = np.ones(fshape, dtype=bool)
         edge = [slice(None)] * 3
         edge[axis] = 0
-        w[tuple(edge)] = 0.0
+        mask[tuple(edge)] = False
         edge[axis] = -1
-        w[tuple(edge)] = 0.0
+        mask[tuple(edge)] = False
+        w = xp.where(xp.asarray(mask), w, 0.0)
         weights.append(w)
     return weights
 
 
-def open_box_weights(shape):
+def open_box_weights(shape, xp=np):
     """Unit weights everywhere except closed domain-boundary faces."""
-    return face_weights_from_solid(lambda pts: np.full_like(pts[0], -1.0), shape, samples=1)
+    return face_weights_from_solid(
+        lambda pts: xp.full_like(pts[0], -1.0), shape, samples=1, xp=xp
+    )

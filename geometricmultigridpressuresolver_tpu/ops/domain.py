@@ -1,11 +1,13 @@
-"""Host-side multigrid domain construction (numpy).
+"""Multigrid domain construction (functional; numpy or JAX).
 
-This is the setup phase that runs once per label set: domain expansion,
-level coarsening, boundary relabeling, boundary-band construction, and
-per-level stencil-coefficient precomputation.  The reference does all of
-this with tile-parallel C++ loops over Houdini voxel arrays; here the same
-label semantics are expressed as vectorized numpy array ops, and the results
-are shipped to the device once as static per-level coefficient grids.
+The setup phase that runs once per label set: domain expansion, level
+coarsening, boundary relabeling, boundary-band construction, and per-level
+stencil-coefficient precomputation.  The reference does all of this with
+tile-parallel C++ loops over Houdini voxel arrays; here the same label
+semantics are expressed as *functional* array ops that run identically on
+host numpy (tests, oracles) or on the TPU under `jit` (production setup --
+build hosts may have a single slow CPU core while the grids are 512^3, so
+the setup pipeline itself must be device-resident).
 
 Reference equivalents:
   * expand_domain        -> buildExpandedCellLabels
@@ -32,6 +34,13 @@ from typing import Sequence
 
 import numpy as np
 
+try:  # jnp optional: every function also works on plain numpy
+    import jax
+    import jax.numpy as jnp
+except ImportError:  # pragma: no cover
+    jax = None
+    jnp = None
+
 from geometricmultigridpressuresolver_tpu.grids import (
     LABEL_DTYPE,
     CellLabel,
@@ -43,6 +52,38 @@ EXT = int(CellLabel.EXTERIOR)
 DIR = int(CellLabel.DIRICHLET)
 INT = int(CellLabel.INTERIOR)
 BND = int(CellLabel.BOUNDARY)
+
+
+def _xp(arr):
+    """Array-module dispatch: jax.numpy for device/traced arrays, else numpy."""
+    if jnp is not None and isinstance(arr, (jax.Array, jax.core.Tracer)):
+        return jnp
+    return np
+
+
+def _neighbor(arr, axis: int, direction: int, fill):
+    """Face-neighbor values: direction 0 -> arr[i-1], 1 -> arr[i+1], `fill`
+    outside the grid."""
+    xp = _xp(arr)
+    n = arr.shape[axis]
+    pad = [(0, 0)] * arr.ndim
+    sl = [slice(None)] * arr.ndim
+    if direction == 0:
+        pad[axis] = (1, 0)
+        sl[axis] = slice(0, n)
+    else:
+        pad[axis] = (0, 1)
+        sl[axis] = slice(1, n + 1)
+    return xp.pad(arr, pad, constant_values=fill)[tuple(sl)]
+
+
+def _cell_faces(w, axis: int):
+    """(lower, upper) face values of each cell from a face array."""
+    lo = [slice(None)] * w.ndim
+    hi = [slice(None)] * w.ndim
+    lo[axis] = slice(0, -1)
+    hi[axis] = slice(1, None)
+    return w[tuple(lo)], w[tuple(hi)]
 
 
 def next_pow2(n: int) -> int:
@@ -67,29 +108,26 @@ def expansion_params(base_shape: Sequence[int]) -> tuple[int, int, tuple[int, in
     return mg_levels, padding, expanded
 
 
-def expand_domain(base_labels: np.ndarray) -> tuple[np.ndarray, tuple[int, int, int], int]:
+def expand_domain(base_labels) -> tuple[object, tuple[int, int, int], int]:
     """Embed base labels into the padded power-of-two multigrid domain.
 
     Non-exterior base cells are copied at offset `padding`; everything else
     is EXTERIOR.  Returns (expanded_labels, offset, mg_levels).
     """
-    base_labels = np.asarray(base_labels)
+    xp = _xp(base_labels)
     mg_levels, padding, expanded_shape = expansion_params(base_labels.shape)
-    expanded = np.full(expanded_shape, EXT, dtype=LABEL_DTYPE)
-    sl = tuple(slice(padding, padding + s) for s in base_labels.shape)
-    region = expanded[sl]
-    region[base_labels == INT] = INT
-    region[base_labels == BND] = INT  # boundary tagging happens later
-    region[base_labels == DIR] = DIR
-    expanded[sl] = region
+    base = xp.where(base_labels == BND, INT, base_labels).astype(LABEL_DTYPE)
+    pad = [
+        (padding, expanded_shape[a] - padding - base_labels.shape[a])
+        for a in range(3)
+    ]
+    expanded = xp.pad(base, pad, constant_values=EXT)
     return expanded, (padding, padding, padding), mg_levels
 
 
 def expand_face_weights(
-    base_weights: Sequence[np.ndarray],
-    expanded_shape: Sequence[int],
-    offset: Sequence[int],
-) -> list[np.ndarray]:
+    base_weights: Sequence, expanded_shape: Sequence[int], offset: Sequence[int]
+) -> list:
     """Copy per-axis face weights into the expanded index space (zero elsewhere).
 
     Weights exist only at the finest level.
@@ -97,71 +135,34 @@ def expand_face_weights(
     """
     out = []
     for axis in range(3):
-        w = np.asarray(base_weights[axis], dtype=np.float64)
-        expanded = np.zeros(face_shape(expanded_shape, axis), dtype=np.float64)
-        sl = []
-        for a in range(3):
-            extent = w.shape[a]
-            sl.append(slice(offset[a], offset[a] + extent))
-        expanded[tuple(sl)] = w
-        out.append(expanded)
+        w = base_weights[axis]
+        xp = _xp(w)
+        target = face_shape(expanded_shape, axis)
+        pad = [(offset[a], target[a] - offset[a] - w.shape[a]) for a in range(3)]
+        out.append(xp.pad(w, pad, constant_values=0.0))
     return out
 
 
-def _neighbor_label_views(labels: np.ndarray):
-    """Yield (axis, direction, neighbor_view, center_view) for all 6 directions.
-
-    Views cover the interior slab where the neighbor exists; cells on the
-    domain edge are excluded (the expanded domain guarantees solvable cells
-    never sit on the edge).
-    """
-    for axis in range(3):
-        lo = [slice(None)] * 3
-        hi = [slice(None)] * 3
-        lo[axis] = slice(0, -1)
-        hi[axis] = slice(1, None)
-        lo, hi = tuple(lo), tuple(hi)
-        # direction 0: neighbor at -1 along axis; center view excludes first slab
-        yield axis, 0, labels[lo], labels[hi]
-        # direction 1: neighbor at +1 along axis; center view excludes last slab
-        yield axis, 1, labels[hi], labels[lo]
-
-
-def _count_adjacent(labels: np.ndarray, predicate) -> np.ndarray:
-    """Per-cell count of the 6 face neighbors satisfying `predicate`.
-
-    Out-of-bounds neighbors do not count.
-    """
-    count = np.zeros(labels.shape, dtype=np.int8)
-    for axis, direction, nbr, _ in _neighbor_label_views(labels):
-        sl = [slice(None)] * 3
-        sl[axis] = slice(1, None) if direction == 0 else slice(0, -1)
-        count[tuple(sl)] += predicate(nbr).astype(np.int8)
-    return count
-
-
-def set_boundary_labels(labels: np.ndarray, face_weights: Sequence[np.ndarray] | None) -> np.ndarray:
-    """Relabel INTERIOR -> BOUNDARY next to Dirichlet/exterior cells or non-unit weights.
+def set_boundary_labels(labels, face_weights: Sequence | None):
+    """Relabel INTERIOR -> BOUNDARY next to Dirichlet/exterior cells or
+    non-unit incident face weights.
 
     Reference: Source/HDK_GeometricMultigridOperators.h:1574-1644.
     """
-    labels = np.array(labels, dtype=LABEL_DTYPE, copy=True)
-    touches = _count_adjacent(labels, lambda l: (l == DIR) | (l == EXT)) > 0
+    xp = _xp(labels)
+    touches = xp.zeros(labels.shape, dtype=bool)
+    for axis in range(3):
+        for direction in (0, 1):
+            nbr = _neighbor(labels, axis, direction, EXT)
+            touches = touches | (nbr == DIR) | (nbr == EXT)
     if face_weights is not None:
         for axis in range(3):
-            w = np.asarray(face_weights[axis])
-            lo = [slice(None)] * 3
-            hi = [slice(None)] * 3
-            lo[axis] = slice(0, -1)
-            hi[axis] = slice(1, None)
-            touches |= w[tuple(lo)] != 1  # lower face of each cell
-            touches |= w[tuple(hi)] != 1  # upper face of each cell
-    boundary = (labels == INT) & touches
-    labels[boundary] = BND
-    return labels
+            wl, wu = _cell_faces(face_weights[axis], axis)
+            touches = touches | (wl != 1) | (wu != 1)
+    return xp.where((labels == INT) & touches, BND, labels).astype(LABEL_DTYPE)
 
 
-def coarsen_labels(fine_labels: np.ndarray) -> np.ndarray:
+def coarsen_labels(fine_labels):
     """One level of label coarsening (8-children vote + boundary pass).
 
     Any DIRICHLET child -> DIRICHLET; else any solvable child -> INTERIOR;
@@ -169,17 +170,19 @@ def coarsen_labels(fine_labels: np.ndarray) -> np.ndarray:
     become BOUNDARY.  Coarse levels carry no fractional weights.
     Reference: Source/HDK_GeometricMultigridOperators.cpp:23-163.
     """
-    fine_labels = np.asarray(fine_labels)
+    xp = _xp(fine_labels)
     assert all(s % 2 == 0 for s in fine_labels.shape), fine_labels.shape
     nx, ny, nz = (s // 2 for s in fine_labels.shape)
     children = fine_labels.reshape(nx, 2, ny, 2, nz, 2)
     has_dirichlet = (children == DIR).any(axis=(1, 3, 5))
     has_interior = is_solvable(children).any(axis=(1, 3, 5))
-    coarse = np.where(has_dirichlet, DIR, np.where(has_interior, INT, EXT)).astype(LABEL_DTYPE)
+    coarse = xp.where(has_dirichlet, DIR, xp.where(has_interior, INT, EXT)).astype(
+        LABEL_DTYPE
+    )
     return set_boundary_labels(coarse, None)
 
 
-def boundary_band(labels: np.ndarray, width: int) -> np.ndarray:
+def boundary_band(labels, width: int):
     """Dense mask of the boundary smoothing band.
 
     Seeds are all BOUNDARY cells; each of the remaining `width - 1` layers
@@ -187,31 +190,25 @@ def boundary_band(labels: np.ndarray, width: int) -> np.ndarray:
     only).  Replaces the reference's sorted explicit cell list with a mask.
     Reference: Source/HDK_GeometricMultigridOperators.cpp:165-469.
     """
-    labels = np.asarray(labels)
     visited = labels == BND
-    frontier = visited.copy()
+    frontier = visited
+    interior = labels == INT
     for _ in range(width - 1):
-        dilated = np.zeros_like(frontier)
+        dilated = frontier
         for axis in range(3):
-            lo = [slice(None)] * 3
-            hi = [slice(None)] * 3
-            lo[axis] = slice(0, -1)
-            hi[axis] = slice(1, None)
-            lo, hi = tuple(lo), tuple(hi)
-            dilated[lo] |= frontier[hi]
-            dilated[hi] |= frontier[lo]
-        frontier = dilated & (labels == INT) & ~visited
-        if not frontier.any():
-            break
-        visited |= frontier
+            for direction in (0, 1):
+                dilated = dilated | _neighbor(frontier, axis, direction, False)
+        frontier = dilated & interior & ~visited
+        visited = visited | frontier
     return visited
 
 
 def build_level_coefficients(
-    labels: np.ndarray,
-    face_weights: Sequence[np.ndarray] | None,
+    labels,
+    face_weights: Sequence | None,
     boundary_width: int,
-) -> dict[str, np.ndarray]:
+    dtype=np.float64,
+) -> dict:
     """Precompute static stencil coefficient grids for one multigrid level.
 
     The reference recomputes the per-cell Laplacian coefficients from labels
@@ -224,66 +221,43 @@ def build_level_coefficients(
                          (6.0 on INTERIOR cells), 0 on non-solvable cells.
       * ``inv_diag``  -- 1/diag on solvable cells, 0 elsewhere (doubles as
                          the solvable mask for smoother updates).
-      * ``ew[axis]``  -- off-diagonal edge weights stored cell-shaped:
-                         ``ew[axis][..., i, ...]`` is w_f of the face between
-                         cell i and i+1 along `axis` where both cells are
-                         solvable, else 0 (the last entry is the domain-edge
-                         face, always 0).  Cell-shaped storage keeps every
-                         hot-loop array the same shape for SPMD sharding.
+      * ``ew[axis]``  -- off-diagonal edge weights stored CELL-shaped:
+                         entry i along the axis is w_f of the face between
+                         cell i and i+1 where both cells are solvable, else
+                         0 (the last entry is the domain-edge face, always
+                         0).  Cell-shaped storage keeps every hot-loop array
+                         the same shape for SPMD sharding.
       * ``solvable``  -- bool DOF mask.
       * ``band``      -- bool boundary smoothing band mask.
 
     On coarse levels (face_weights=None) all face weights are implicitly 1.
     """
-    labels = np.asarray(labels)
+    xp = _xp(labels)
     solvable = is_solvable(labels)
-    diag = np.zeros(labels.shape, dtype=np.float64)
+    one = xp.ones((), dtype=dtype)
+    diag = xp.zeros(labels.shape, dtype=dtype)
     edge_weights = []
     for axis in range(3):
-        lo = [slice(None)] * 3
-        hi = [slice(None)] * 3
-        lo[axis] = slice(0, -1)
-        hi[axis] = slice(1, None)
-        lo, hi = tuple(lo), tuple(hi)
-
-        w = np.ones(face_shape(labels.shape, axis), dtype=np.float64)
         if face_weights is not None:
-            w = np.asarray(face_weights[axis], dtype=np.float64)
+            wl, wu = _cell_faces(face_weights[axis].astype(dtype), axis)
+        else:
+            wl = wu = one
+        lbl_m = _neighbor(labels, axis, 0, EXT)
+        lbl_p = _neighbor(labels, axis, 1, EXT)
 
-        # Interior faces of the grid: face f (1..n-1 along axis) sits between
-        # cell f-1 (view `lo` of cells) and cell f (view `hi`).
-        interior_faces = [slice(None)] * 3
-        interior_faces[axis] = slice(1, -1)
-        interior_faces = tuple(interior_faces)
+        # Diagonal: each face contributes w_f to its solvable cell whenever
+        # the opposite cell is not EXTERIOR (INTERIOR/BOUNDARY/DIRICHLET all
+        # count; reference computeLaplacian,
+        # Source/HDK_GeometricMultigridOperators.h:177-260).
+        zero = xp.zeros(labels.shape, dtype=dtype)
+        diag = diag + xp.where(solvable & (lbl_p != EXT), wu, zero)
+        diag = diag + xp.where(solvable & (lbl_m != EXT), wl, zero)
 
-        lo_lbl = labels[lo]  # cell below the face
-        hi_lbl = labels[hi]  # cell above the face
-        wf = w[interior_faces]
+        # Off-diagonal upper-face edge weight (cell-shaped).
+        edge_weights.append(xp.where(solvable & is_solvable(lbl_p), wu, zero))
 
-        counts = (lo_lbl != EXT) & (hi_lbl != EXT)
-        ew = np.where(is_solvable(lo_lbl) & is_solvable(hi_lbl), wf, 0.0)
-        # Stored cell-shaped: entry i is the off-diagonal weight of the face
-        # between cell i and cell i+1 (the last entry is the domain-edge
-        # face, always 0 thanks to the exterior shell).  Cell-shaped
-        # coefficients keep every hot-loop array uniformly shardable.
-        cell_ew = np.zeros(labels.shape, dtype=np.float64)
-        sl = [slice(None)] * 3
-        sl[axis] = slice(0, -1)
-        cell_ew[tuple(sl)] = ew
-        edge_weights.append(cell_ew)
-
-        # Diagonal contributions: the face contributes w_f to the diagonal of
-        # each adjacent *solvable* cell whenever the opposite cell is not
-        # EXTERIOR (INTERIOR/BOUNDARY/DIRICHLET all count; reference
-        # computeLaplacian, Source/HDK_GeometricMultigridOperators.h:177-260).
-        contrib = np.where(counts, wf, 0.0)
-        diag[lo] += np.where(is_solvable(lo_lbl), contrib, 0.0)
-        diag[hi] += np.where(is_solvable(hi_lbl), contrib, 0.0)
-
-    diag[~solvable] = 0.0
-    inv_diag = np.zeros_like(diag)
-    good = solvable & (diag > 0)
-    inv_diag[good] = 1.0 / diag[good]
+    safe = xp.where(diag > 0, diag, one)
+    inv_diag = xp.where(solvable & (diag > 0), one / safe, xp.zeros_like(diag))
 
     return {
         "labels": labels,
@@ -296,10 +270,10 @@ def build_level_coefficients(
 
 
 def build_label_hierarchy(
-    expanded_labels: np.ndarray,
+    expanded_labels,
     mg_levels: int,
     max_levels: int | None = None,
-) -> list[np.ndarray]:
+) -> list:
     """Coarsen labels level by level, capping when a level has no DOFs.
 
     Reference caps `myMGLevels` when a coarse level has no solvable cell
@@ -307,21 +281,21 @@ def build_label_hierarchy(
     """
     if max_levels is not None:
         mg_levels = min(mg_levels, max_levels)
-    levels = [np.asarray(expanded_labels, dtype=LABEL_DTYPE)]
+    levels = [expanded_labels]
     for _ in range(1, mg_levels):
         coarse = coarsen_labels(levels[-1])
-        if not is_solvable(coarse).any():
+        if not bool(is_solvable(coarse).any()):
             break
         levels.append(coarse)
     return levels
 
 
 # ---------------------------------------------------------------------------
-# Invariant checks (reference built-in unit tests)
+# Invariant checks (reference built-in unit tests; host-side numpy)
 # ---------------------------------------------------------------------------
 
 
-def check_exterior_shell(labels: np.ndarray) -> bool:
+def check_exterior_shell(labels) -> bool:
     """All six outer faces of the grid must be fully EXTERIOR.
 
     Reference unitTestExteriorCells
@@ -337,7 +311,7 @@ def check_exterior_shell(labels: np.ndarray) -> bool:
     return True
 
 
-def check_coarsening(fine: np.ndarray, coarse: np.ndarray) -> bool:
+def check_coarsening(fine, coarse) -> bool:
     """Fine<->coarse label consistency in both directions.
 
     Mirrors reference unitTestCoarsening
@@ -345,8 +319,7 @@ def check_coarsening(fine: np.ndarray, coarse: np.ndarray) -> bool:
       * coarse equals an independent recoarsening of fine;
       * coarse DIRICHLET  => at least one DIRICHLET child;
       * coarse solvable   => at least one solvable child, no DIRICHLET child;
-      * coarse EXTERIOR   => at least one EXTERIOR child, no DIRICHLET or
-                             solvable child;
+      * coarse EXTERIOR   => no DIRICHLET or solvable child;
       * fine solvable     => parent not EXTERIOR (a Dirichlet sibling may
                              have voted the parent DIRICHLET);
       * fine DIRICHLET    => parent DIRICHLET.
@@ -355,7 +328,7 @@ def check_coarsening(fine: np.ndarray, coarse: np.ndarray) -> bool:
     coarse = np.asarray(coarse)
     if tuple(2 * np.asarray(coarse.shape)) != fine.shape:
         return False
-    if not np.array_equal(coarse, coarsen_labels(fine)):
+    if not np.array_equal(coarse, np.asarray(coarsen_labels(fine))):
         return False
 
     nx, ny, nz = coarse.shape
@@ -380,9 +353,7 @@ def check_coarsening(fine: np.ndarray, coarse: np.ndarray) -> bool:
     return True
 
 
-def check_boundary_cells(
-    labels: np.ndarray, face_weights: Sequence[np.ndarray] | None
-) -> bool:
+def check_boundary_cells(labels, face_weights: Sequence | None) -> bool:
     """Every INTERIOR cell is fully regular; every BOUNDARY cell is justified.
 
     Mirrors reference unitTestBoundaryCells
@@ -391,16 +362,15 @@ def check_boundary_cells(
     labels = np.asarray(labels)
     interior = labels == INT
 
-    irregular = _count_adjacent(labels, lambda l: (l == DIR) | (l == EXT)) > 0
+    irregular = np.zeros(labels.shape, dtype=bool)
+    for axis in range(3):
+        for direction in (0, 1):
+            nbr = _neighbor(labels, axis, direction, EXT)
+            irregular |= (nbr == DIR) | (nbr == EXT)
     if face_weights is not None:
         for axis in range(3):
-            w = np.asarray(face_weights[axis])
-            lo = [slice(None)] * 3
-            hi = [slice(None)] * 3
-            lo[axis] = slice(0, -1)
-            hi[axis] = slice(1, None)
-            irregular |= w[tuple(lo)] != 1
-            irregular |= w[tuple(hi)] != 1
+            wl, wu = _cell_faces(np.asarray(face_weights[axis]), axis)
+            irregular |= (wl != 1) | (wu != 1)
 
     if irregular[interior].any():
         return False

@@ -24,6 +24,7 @@ iteration as the preconditioner.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Sequence
 
 import jax
@@ -48,40 +49,74 @@ class MGHierarchy(NamedTuple):
         return len(self.levels)
 
 
+@functools.partial(jax.jit, static_argnames=("boundary_width", "dtype"))
+def _device_level(labels, face_weights, boundary_width: int, dtype):
+    """Build one level's coefficients + the next-coarser labels, on device."""
+    c = domain_ops.build_level_coefficients(labels, face_weights, boundary_width, dtype)
+    coeffs = stencil.LevelCoeffs(
+        solvable=c["solvable"],
+        band=c["band"],
+        diag=c["diag"],
+        inv_diag=c["inv_diag"],
+        ew0=c["ew"][0],
+        ew1=c["ew"][1],
+        ew2=c["ew"][2],
+    )
+    coarse = domain_ops.coarsen_labels(labels)
+    has_dofs = domain_ops.is_solvable(coarse).any()
+    return coeffs, coarse, has_dofs
+
+
 def build_hierarchy(
-    labels: np.ndarray,
-    face_weights: Sequence[np.ndarray] | None,
+    labels,
+    face_weights: Sequence | None,
     mg_levels: int,
     config: SolverConfig = SolverConfig(),
     validate: bool = False,
 ) -> MGHierarchy:
-    """Host-side hierarchy construction from expanded+relabeled finest labels.
+    """Hierarchy construction from expanded+relabeled finest labels.
 
     `labels` must already be the expanded power-of-two domain with BOUNDARY
     relabeling applied (see ops.domain.expand_domain / set_boundary_labels);
-    `face_weights` exist only at the finest level.
+    `face_weights` exist only at the finest level.  All per-level array work
+    runs on the device under jit; only the (tiny) coarsest-level direct
+    solver is assembled on the host.
     """
     dtype = config.mg_dtype_resolved
-    label_levels = domain_ops.build_label_hierarchy(
-        labels, mg_levels, max_levels=config.max_mg_levels
+    target_levels = mg_levels
+    if config.max_mg_levels is not None:
+        target_levels = min(target_levels, config.max_mg_levels)
+
+    cur = jnp.asarray(labels)
+    fw = (
+        None
+        if face_weights is None
+        else tuple(jnp.asarray(w, dtype=dtype) for w in face_weights)
     )
 
-    if validate:
-        assert domain_ops.check_exterior_shell(label_levels[0])
-        assert domain_ops.check_boundary_cells(label_levels[0], face_weights)
-        for fine, coarse in zip(label_levels, label_levels[1:]):
-            assert domain_ops.check_coarsening(fine, coarse)
-            assert domain_ops.check_boundary_cells(coarse, None)
-
+    label_levels = [cur]
     levels = []
-    for i, lv in enumerate(label_levels):
-        coeffs = domain_ops.build_level_coefficients(
-            lv, face_weights if i == 0 else None, config.boundary_width
+    for i in range(target_levels):
+        coeffs, coarse, has_dofs = _device_level(
+            cur, fw if i == 0 else None, config.boundary_width, dtype
         )
-        levels.append(stencil.LevelCoeffs.from_host(coeffs, dtype))
+        levels.append(coeffs)
+        if i + 1 >= target_levels or not bool(has_dofs):
+            break
+        cur = coarse
+        label_levels.append(cur)
 
-    # Coarsest-level direct solver: dense inverse over DOFs.
-    coarsest = label_levels[-1]
+    if validate:
+        host_levels = [np.asarray(lv) for lv in label_levels]
+        host_fw = None if fw is None else [np.asarray(w) for w in fw]
+        assert domain_ops.check_exterior_shell(host_levels[0])
+        assert domain_ops.check_boundary_cells(host_levels[0], host_fw)
+        for fine, coarse_lv in zip(host_levels, host_levels[1:]):
+            assert domain_ops.check_coarsening(fine, coarse_lv)
+            assert domain_ops.check_boundary_cells(coarse_lv, None)
+
+    # Coarsest-level direct solver: dense inverse over DOFs (host; tiny).
+    coarsest = np.asarray(label_levels[-1])
     a, idx = assembled.assemble_poisson(coarsest, None)
     ndof = a.shape[0]
     if ndof > 16384:

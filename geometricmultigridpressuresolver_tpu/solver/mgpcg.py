@@ -49,10 +49,14 @@ def build_problem(
         # operator (saves one full-resolution coefficient set).
         fine = hier.levels[0]
     else:
-        fine_host = domain_ops.build_level_coefficients(
-            labels, face_weights, config.boundary_width
+        fw = (
+            None
+            if face_weights is None
+            else tuple(jnp.asarray(w, dtype=config.solve_dtype) for w in face_weights)
         )
-        fine = stencil.LevelCoeffs.from_host(fine_host, config.solve_dtype)
+        fine, _, _ = mg_mod._device_level(
+            jnp.asarray(labels), fw, config.boundary_width, config.solve_dtype
+        )
     return PoissonProblem(fine=fine, hier=hier)
 
 

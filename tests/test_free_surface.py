@@ -28,7 +28,7 @@ def splash_setup():
 
 def test_material_labels(splash_setup):
     liquid_phi, _, weights, _, setup = splash_setup
-    material = setup.material
+    material = np.asarray(setup.material)
     # Pool bottom region is liquid, top air; closed-box edge cells have at
     # least one open face so nothing except nothing-open cells is SOLID.
     assert (material == int(MaterialLabel.LIQUID)).sum() > 0
