@@ -49,6 +49,13 @@ class SolverConfig:
       use_mg_preconditioner: MG V-cycle preconditioner when True, inverse
         diagonal otherwise (reference `useMGPreconditioner`, default on).
       max_mg_levels: optional cap on the multigrid hierarchy depth.
+      compact_domain: crop the multigrid domain to the aligned active
+        bounding box after trimming far-field Dirichlet cells -- the same
+        linear system as the reference's full-grid power-of-two expansion
+        (Source/HDK_GeometricMultigridOperators.h:1341-1360) at a fraction
+        of the cell count (the dense-grid answer to the reference's
+        constant-tile compression).
+      dirichlet_band: Dirichlet rings kept around the liquid when trimming.
     """
 
     solve_dtype: Any = jnp.float64
@@ -64,6 +71,9 @@ class SolverConfig:
     use_old_pressure: bool = True
     use_mg_preconditioner: bool = True
     max_mg_levels: int | None = None
+    compact_domain: bool = True
+    dirichlet_band: int = 4
+    coarse_dof_target: int = 3000
 
     @property
     def mg_dtype_resolved(self):

@@ -155,7 +155,7 @@ def classify_valid_faces(material, cut_cell_weights: Sequence) -> list:
 
 
 class ProjectionSetup(NamedTuple):
-    """Per-frame static data built on the host."""
+    """Per-frame static data (device arrays + static geometry)."""
 
     problem: mgpcg.PoissonProblem
     material: jax.Array                  # int8 (base shape) material labels
@@ -163,18 +163,21 @@ class ProjectionSetup(NamedTuple):
     valid_faces: tuple[jax.Array, ...]   # bool face arrays, base shape
     weights: tuple[jax.Array, ...]       # cut-cell weights, base shape
     grad_scale: tuple[jax.Array, ...]    # 1/theta on liquid-air valid faces
-    offset: tuple[int, int, int]
+    offset: tuple[int, int, int]         # expanded-grid index of bbox start
     expanded_shape: tuple[int, int, int]
+    base_bbox: tuple[tuple[int, int], ...]  # active bbox in base coords
 
 
-def _setup_fields(
+def _setup_base_fields(
     liquid_phi,
     cut_cell_weights,
     solid_phi,
     theta_clamp: float,
     dtype,
+    dirichlet_band: int,
 ):
-    """Steps 1-4 array work: labels, valid faces, MG weights, expansion.
+    """Steps 1-3 array work on the base grid: labels, valid faces, MG
+    weights, far-field Dirichlet trimming, occupancy projections.
 
     Functional, so it runs under jit on the device (production) or eagerly
     on host numpy arrays (tests/oracles use the pieces directly).
@@ -215,10 +218,64 @@ def _setup_fields(
         mg_weights.append(bw)
         grad_scale.append(scale)
 
+    # Far-field Dirichlet trimming: identical linear system, much smaller
+    # active bounding box (see domain.trim_far_dirichlet).
+    trimmed = domain_ops.trim_far_dirichlet(mg_labels, dirichlet_band)
+    non_ext = trimmed != int(CellLabel.EXTERIOR)
+    projections = (
+        non_ext.any(axis=(1, 2)),
+        non_ext.any(axis=(0, 2)),
+        non_ext.any(axis=(0, 1)),
+        non_ext.sum(dtype=np.int32),
+    )
+    return material, valid, grad_scale, mg_labels, trimmed, mg_weights, projections
+
+
+def _expand_compact_fields(mg_labels, mg_weights, bbox, padding, expanded_shape):
+    """Step 4 (compact): crop to the active bbox, pad, relabel boundaries."""
+    from geometricmultigridpressuresolver_tpu.grids import face_shape
+
+    xp = _xp(mg_labels)
+    labels = domain_ops.expand_domain_compact(mg_labels, bbox, padding, expanded_shape)
+    exp_weights = []
+    for axis in range(3):
+        w = mg_weights[axis]
+        sl = [slice(bbox[a][0], bbox[a][1]) for a in range(3)]
+        sl[axis] = slice(bbox[axis][0], bbox[axis][1] + 1)
+        wc = w[tuple(sl)]
+        target = face_shape(expanded_shape, axis)
+        pad = [(padding, target[a] - padding - wc.shape[a]) for a in range(3)]
+        exp_weights.append(xp.pad(wc, pad, constant_values=0.0))
+    labels = domain_ops.set_boundary_labels(labels, exp_weights)
+    return labels, exp_weights
+
+
+def _expand_classic_fields(mg_labels, mg_weights):
+    """Step 4 (classic): reference-style power-of-two full-grid expansion."""
     expanded, offset, _ = domain_ops.expand_domain(mg_labels)
     exp_weights = domain_ops.expand_face_weights(mg_weights, expanded.shape, offset)
     labels = domain_ops.set_boundary_labels(expanded, exp_weights)
-    return material, valid, grad_scale, labels, exp_weights
+    return labels, exp_weights
+
+
+_setup_base_jit = None
+_expand_compact_jit = None
+_expand_classic_jit = None
+
+
+def _jitted():
+    global _setup_base_jit, _expand_compact_jit, _expand_classic_jit
+    if _setup_base_jit is None:
+        _setup_base_jit = jax.jit(
+            _setup_base_fields,
+            static_argnames=("theta_clamp", "dtype", "dirichlet_band"),
+        )
+        _expand_compact_jit = jax.jit(
+            _expand_compact_fields,
+            static_argnames=("bbox", "padding", "expanded_shape"),
+        )
+        _expand_classic_jit = jax.jit(_expand_classic_fields)
+    return _setup_base_jit, _expand_compact_jit, _expand_classic_jit
 
 
 def build_setup(
@@ -232,7 +289,10 @@ def build_setup(
 
     All heavy array work runs on the device (the grids may be 512^3; build
     hosts may have one slow CPU core), then the hierarchy is built level by
-    level on the device as well.
+    level on the device as well.  With `config.compact_domain` (default) the
+    multigrid domain is the aligned bounding box of the liquid plus a
+    narrow Dirichlet band -- the same linear system as the reference's
+    full-grid power-of-two expansion at a fraction of the cell count.
     """
     sd = config.solve_dtype
     liquid_phi = jnp.asarray(liquid_phi, dtype=sd)
@@ -240,13 +300,35 @@ def build_setup(
     if solid_phi is not None:
         solid_phi = jnp.asarray(solid_phi, dtype=sd)
 
-    mg_levels, padding, _ = domain_ops.expansion_params(liquid_phi.shape)
-    offset = (padding, padding, padding)
+    setup_base, expand_compact, expand_classic = _jitted()
+    material, valid, grad_scale, mg_labels, trimmed, mg_weights, projections = (
+        setup_base(
+            liquid_phi,
+            cut_cell_weights,
+            solid_phi,
+            config.theta_clamp,
+            sd,
+            config.dirichlet_band,
+        )
+    )
 
-    fields = jax.jit(
-        _setup_fields, static_argnames=("theta_clamp", "dtype")
-    )(liquid_phi, cut_cell_weights, solid_phi, config.theta_clamp, sd)
-    material, valid, grad_scale, labels, exp_weights = fields
+    if config.compact_domain:
+        proj_host = [np.asarray(p) for p in projections[:3]]
+        mg_levels, padding, bbox, expanded_shape = (
+            domain_ops.compact_expansion_params(
+                proj_host,
+                non_ext_count=int(projections[3]),
+                coarse_dof_target=config.coarse_dof_target,
+            )
+        )
+        labels, exp_weights = expand_compact(
+            trimmed, mg_weights, bbox, padding, tuple(expanded_shape)
+        )
+    else:
+        mg_levels, padding, _ = domain_ops.expansion_params(liquid_phi.shape)
+        bbox = tuple((0, s) for s in liquid_phi.shape)
+        labels, exp_weights = expand_classic(mg_labels, mg_weights)
+    offset = (padding, padding, padding)
 
     if validate:
         labels_np = np.asarray(labels)
@@ -264,18 +346,24 @@ def build_setup(
         grad_scale=tuple(grad_scale),
         offset=offset,
         expanded_shape=tuple(labels.shape),
+        base_bbox=bbox,
     )
 
 
-def _embed(base: jax.Array, expanded_shape, offset) -> jax.Array:
+def _embed(base: jax.Array, expanded_shape, offset, bbox) -> jax.Array:
+    """Copy base-grid values in the active bbox into the expanded grid."""
     out = jnp.zeros(expanded_shape, dtype=base.dtype)
-    sl = tuple(slice(o, o + s) for o, s in zip(offset, base.shape))
-    return out.at[sl].set(base)
+    src = tuple(slice(lo, hi) for lo, hi in bbox)
+    dst = tuple(slice(o, o + hi - lo) for o, (lo, hi) in zip(offset, bbox))
+    return out.at[dst].set(base[src])
 
 
-def _extract(expanded: jax.Array, base_shape, offset) -> jax.Array:
-    sl = tuple(slice(o, o + s) for o, s in zip(offset, base_shape))
-    return expanded[sl]
+def _extract(expanded: jax.Array, base_shape, offset, bbox) -> jax.Array:
+    """Scatter the expanded grid's active bbox back onto the base grid."""
+    out = jnp.zeros(base_shape, dtype=expanded.dtype)
+    src = tuple(slice(o, o + hi - lo) for o, (lo, hi) in zip(offset, bbox))
+    dst = tuple(slice(lo, hi) for lo, hi in bbox)
+    return out.at[dst].set(expanded[src])
 
 
 def negative_divergence(
@@ -363,16 +451,18 @@ def project(
         solid_velocity = tuple(jnp.asarray(v, dtype=sd) for v in solid_velocity)
 
     rhs_base = negative_divergence(setup.liquid_mask, velocity, setup.weights, solid_velocity)
-    rhs = _embed(rhs_base, setup.expanded_shape, setup.offset)
+    rhs = _embed(rhs_base, setup.expanded_shape, setup.offset, setup.base_bbox)
 
     x0 = None
     if config.use_old_pressure and old_pressure is not None:
         warm = jnp.where(setup.liquid_mask, jnp.asarray(old_pressure, dtype=sd), 0.0)
-        x0 = _embed(warm, setup.expanded_shape, setup.offset)
+        x0 = _embed(warm, setup.expanded_shape, setup.offset, setup.base_bbox)
 
     cg_result = mgpcg.solve(setup.problem, rhs, x0=x0, config=config)
 
-    pressure = _extract(cg_result.x, setup.liquid_mask.shape, setup.offset)
+    pressure = _extract(
+        cg_result.x, setup.liquid_mask.shape, setup.offset, setup.base_bbox
+    )
     pressure = jnp.where(setup.liquid_mask, pressure, jnp.zeros_like(pressure))
 
     new_velocity = apply_pressure_gradient(

@@ -125,6 +125,97 @@ def expand_domain(base_labels) -> tuple[object, tuple[int, int, int], int]:
     return expanded, (padding, padding, padding), mg_levels
 
 
+def dilate(mask, rings: int):
+    """Face-neighbor dilation of a boolean mask, `rings` layers."""
+    for _ in range(rings):
+        grown = mask
+        for axis in range(3):
+            for direction in (0, 1):
+                grown = grown | _neighbor(mask, axis, direction, False)
+        mask = grown
+    return mask
+
+
+def trim_far_dirichlet(labels, keep_rings: int = 4):
+    """Relabel DIRICHLET cells farther than `keep_rings` from any solvable
+    cell as EXTERIOR.
+
+    The Poisson system only sees Dirichlet cells through faces incident to
+    solvable cells, so trimming the far field leaves the matrix and RHS
+    bit-identical while shrinking the active bounding box dramatically
+    (e.g. the air above a pool).  This plays the role of the reference's
+    constant-tile compression of far-field regions (SURVEY.md section 2.1).
+    """
+    xp = _xp(labels)
+    near = dilate(is_solvable(labels), keep_rings)
+    return xp.where((labels == DIR) & ~near, EXT, labels).astype(LABEL_DTYPE)
+
+
+def compact_expansion_params(
+    non_ext_proj: Sequence[np.ndarray],
+    non_ext_count: int | None = None,
+    coarse_dof_target: int = 3000,
+) -> tuple[int, int, tuple[tuple[int, int], ...], tuple[int, int, int]]:
+    """Compact-domain geometry from per-axis occupancy projections.
+
+    `non_ext_proj[a]` is the 1-D boolean projection (any over the other two
+    axes) of non-EXTERIOR cells along axis a.  Returns
+    (mg_levels, padding, bbox, expanded_shape) where bbox[a] = (lo, hi) is
+    the half-open active range per axis.
+
+    Two departures from the reference's expansion (power-of-two rounding of
+    the full grid with depth ceil(log2(min))-1,
+    Source/HDK_GeometricMultigridOperators.h:1341-1360), both exact:
+
+      * the domain crops to the active bounding box, and each axis length
+        only needs to be a multiple of 2**(mg_levels-1) (even extents plus
+        one exterior ring at every level is all the hierarchy needs);
+      * the depth is the SMALLEST L whose estimated coarsest-level DOF
+        count (non_ext_count / 8**(L-1)) fits the dense direct solve.
+        The coarsest level is solved exactly either way, so a shallower
+        hierarchy preconditions just as well while cutting the exterior
+        padding from 2**(Lref-1) to 2**(L-1) cells per side -- a large
+        fraction of all cells at 256^3+.
+    """
+    bbox = []
+    for proj in non_ext_proj:
+        idx = np.flatnonzero(np.asarray(proj))
+        if idx.size == 0:
+            raise ValueError("domain has no non-exterior cells")
+        bbox.append((int(idx[0]), int(idx[-1]) + 1))
+    extents = [hi - lo for lo, hi in bbox]
+    min_dim = min(extents)
+
+    max_levels = 2 if min_dim < 4 else max(2, math.ceil(math.log2(min_dim)) - 1)
+    if non_ext_count is None:
+        mg_levels = max_levels
+    else:
+        mg_levels = max_levels
+        for level in range(2, max_levels + 1):
+            if non_ext_count / 8 ** (level - 1) <= coarse_dof_target:
+                mg_levels = level
+                break
+
+    padding = 2 ** (mg_levels - 1)
+    expanded = tuple(
+        ((e + 2 * padding + padding - 1) // padding) * padding for e in extents
+    )
+    return mg_levels, padding, tuple(bbox), expanded
+
+
+def expand_domain_compact(labels, bbox, padding: int, expanded_shape):
+    """Crop labels to the active bbox and pad with EXTERIOR to the compact
+    expanded shape (leading pad exactly `padding`, trailing pad >= padding)."""
+    xp = _xp(labels)
+    sl = tuple(slice(lo, hi) for lo, hi in bbox)
+    region = xp.where(labels[sl] == BND, INT, labels[sl]).astype(LABEL_DTYPE)
+    pad = [
+        (padding, expanded_shape[a] - padding - (bbox[a][1] - bbox[a][0]))
+        for a in range(3)
+    ]
+    return xp.pad(region, pad, constant_values=EXT)
+
+
 def expand_face_weights(
     base_weights: Sequence, expanded_shape: Sequence[int], offset: Sequence[int]
 ) -> list:

@@ -76,4 +76,5 @@ def shard_setup(
         grad_scale=tuple(shard_grid(g, mesh, min_per_device) for g in setup.grad_scale),
         offset=setup.offset,
         expanded_shape=setup.expanded_shape,
+        base_bbox=setup.base_bbox,
     )

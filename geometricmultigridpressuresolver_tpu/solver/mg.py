@@ -50,10 +50,10 @@ class MGHierarchy(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("boundary_width", "dtype"))
-def _device_level(labels, face_weights, boundary_width: int, dtype):
-    """Build one level's coefficients + the next-coarser labels, on device."""
+def _device_coeffs(labels, face_weights, boundary_width: int, dtype):
+    """Build one level's stencil coefficients on device."""
     c = domain_ops.build_level_coefficients(labels, face_weights, boundary_width, dtype)
-    coeffs = stencil.LevelCoeffs(
+    return stencil.LevelCoeffs(
         solvable=c["solvable"],
         band=c["band"],
         diag=c["diag"],
@@ -62,6 +62,12 @@ def _device_level(labels, face_weights, boundary_width: int, dtype):
         ew1=c["ew"][1],
         ew2=c["ew"][2],
     )
+
+
+@functools.partial(jax.jit, static_argnames=("boundary_width", "dtype"))
+def _device_level(labels, face_weights, boundary_width: int, dtype):
+    """Build one level's coefficients + the next-coarser labels, on device."""
+    coeffs = _device_coeffs(labels, face_weights, boundary_width, dtype)
     coarse = domain_ops.coarsen_labels(labels)
     has_dofs = domain_ops.is_solvable(coarse).any()
     return coeffs, coarse, has_dofs
@@ -97,11 +103,20 @@ def build_hierarchy(
     label_levels = [cur]
     levels = []
     for i in range(target_levels):
+        fw_i = fw if i == 0 else None
+        # The compact domain only guarantees even extents down to the
+        # coarsest level; never coarsen past an odd extent (or the cap).
+        can_coarsen = i + 1 < target_levels and all(
+            s % 2 == 0 for s in cur.shape
+        )
+        if not can_coarsen:
+            levels.append(_device_coeffs(cur, fw_i, config.boundary_width, dtype))
+            break
         coeffs, coarse, has_dofs = _device_level(
-            cur, fw if i == 0 else None, config.boundary_width, dtype
+            cur, fw_i, config.boundary_width, dtype
         )
         levels.append(coeffs)
-        if i + 1 >= target_levels or not bool(has_dofs):
+        if not bool(has_dofs):
             break
         cur = coarse
         label_levels.append(cur)

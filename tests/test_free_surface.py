@@ -115,3 +115,26 @@ def test_moving_solid_velocity():
     assert bool(result.cg.converged)
     # The solve reacts to the moving solid: nonzero pressure.
     assert float(jnp.max(jnp.abs(result.pressure))) > 0
+
+
+def test_compact_matches_classic():
+    """Compact bbox expansion is the identical linear system: same pressure."""
+    shape = (20, 20, 20)
+    liquid_phi, velocity = sdf.splash_scene(shape)
+    weights = sdf.open_box_weights(shape)
+
+    cfg_compact = SolverConfig(tolerance=1e-9, compact_domain=True)
+    cfg_classic = SolverConfig(tolerance=1e-9, compact_domain=False)
+    s_compact = free_surface.build_setup(liquid_phi, weights, config=cfg_compact, validate=True)
+    s_classic = free_surface.build_setup(liquid_phi, weights, config=cfg_classic, validate=True)
+
+    # Compact domain is strictly smaller for a pool scene.
+    assert np.prod(s_compact.expanded_shape) < np.prod(s_classic.expanded_shape)
+
+    r_compact = free_surface.project(s_compact, velocity, config=cfg_compact)
+    r_classic = free_surface.project(s_classic, velocity, config=cfg_classic)
+    assert bool(r_compact.cg.converged) and bool(r_classic.cg.converged)
+    np.testing.assert_allclose(
+        np.asarray(r_compact.pressure), np.asarray(r_classic.pressure),
+        rtol=0, atol=1e-7,
+    )
