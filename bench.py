@@ -35,6 +35,10 @@ BASELINE_DOF_PER_S = 1.0e6  # documented estimate; reference publishes nothing
 
 def main() -> None:
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gmg_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     import jax.numpy as jnp
     import numpy as np
 
