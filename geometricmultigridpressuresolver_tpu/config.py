@@ -74,6 +74,13 @@ class SolverConfig:
     compact_domain: bool = True
     dirichlet_band: int = 4
     coarse_dof_target: int = 3000
+    # Smoother kernel selection: "auto" uses the fused Pallas smoothing
+    # kernel (ops.pallas_smoother) on TPU for fp32 levels that satisfy its
+    # geometry preconditions, jnp stencils elsewhere; "jnp" forces the
+    # reference-shaped XLA path; "pallas" fails loudly if ineligible.
+    kernel_mode: str = "auto"
+    pallas_block_t: int = 8
+    pallas_block_y: int = 64
 
     @property
     def mg_dtype_resolved(self):

@@ -155,6 +155,7 @@ def compact_expansion_params(
     non_ext_proj: Sequence[np.ndarray],
     non_ext_count: int | None = None,
     coarse_dof_target: int = 3000,
+    align_lanes: bool = True,
 ) -> tuple[int, int, tuple[tuple[int, int], ...], tuple[int, int, int]]:
     """Compact-domain geometry from per-axis occupancy projections.
 
@@ -197,10 +198,18 @@ def compact_expansion_params(
                 break
 
     padding = 2 ** (mg_levels - 1)
-    expanded = tuple(
+    expanded = [
         ((e + 2 * padding + padding - 1) // padding) * padding for e in extents
-    )
-    return mg_levels, padding, tuple(bbox), expanded
+    ]
+    # TPU lane alignment: pad the last axis to a multiple of 128 for large
+    # grids.  fp32 arrays are physically tiled (8, 128) in HBM, so the tail
+    # tile is allocated either way -- making it logical unlocks Mosaic DMA
+    # slicing (the fused Pallas smoother requires 128-aligned lane slices)
+    # at no memory cost.  Skipped for small grids where the growth would be
+    # large relative to the domain.
+    if align_lanes and extents[2] + 2 * padding >= 160:
+        expanded[2] = ((expanded[2] + 127) // 128) * 128
+    return mg_levels, padding, tuple(bbox), tuple(expanded)
 
 
 def expand_domain_compact(labels, bbox, padding: int, expanded_shape):

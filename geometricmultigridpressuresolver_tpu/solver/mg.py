@@ -173,12 +173,19 @@ def _smooth_level(
     c: stencil.LevelCoeffs,
     config: SolverConfig,
     forward: bool,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """boundary^k ; interior ; boundary^k smoothing block.
 
     Reference applyVCycle per-level schedule
     (Source/HDK_GeometricMultigridPoissonSolver.cpp:445-513 and 715-783).
+    With `use_pallas` the whole pass stack runs as one fused TPU kernel
+    (ops.pallas_smoother) -- bit-equivalent schedule, ~4x less HBM traffic.
     """
+    if use_pallas:
+        from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
+
+        return pallas_smoother.smooth_level_pallas(x, b, c, config, forward)
     for _ in range(config.boundary_iterations):
         x = stencil.boundary_jacobi(x, b, c, config.jacobi_damping)
     if config.use_gauss_seidel:
@@ -188,6 +195,36 @@ def _smooth_level(
     for _ in range(config.boundary_iterations):
         x = stencil.boundary_jacobi(x, b, c, config.jacobi_damping)
     return x
+
+
+def _pallas_level_flags(hier: "MGHierarchy", config: SolverConfig) -> tuple[bool, ...]:
+    """Per-level decision to use the fused Pallas smoothing kernel.
+
+    "auto": TPU backend, a single addressable device (the kernel is not yet
+    shard_map-partitioned), fp32 fields, and the level passes the geometry
+    preconditions.  "pallas" skips the platform gate (fails loudly off-TPU,
+    for tests with interpret mode use ops.pallas_smoother directly).
+    """
+    from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
+
+    mode = config.kernel_mode
+    if mode == "jnp":
+        return (False,) * hier.num_levels
+    if mode == "auto":
+        try:
+            devices = jax.devices()
+        except RuntimeError:
+            return (False,) * hier.num_levels
+        if devices[0].platform != "tpu" or len(devices) > 1:
+            return (False,) * hier.num_levels
+        if hier.levels[0].diag.dtype != jnp.float32:
+            return (False,) * hier.num_levels
+    return tuple(
+        pallas_smoother.eligible(
+            c.shape, level, hier.num_levels, config.pallas_block_t
+        )
+        for level, c in enumerate(hier.levels)
+    )
 
 
 def v_cycle(
@@ -207,13 +244,16 @@ def v_cycle(
     dtype = hier.levels[0].diag.dtype
     x = x.astype(dtype)
     b = b.astype(dtype)
+    pallas_ok = _pallas_level_flags(hier, config)
 
     if not use_initial_guess:
         x = jnp.zeros_like(x)
 
     if nlev == 1:
         # Single-level cycle is smoothing-only (reference cpp:516-517).
-        return _smooth_level(x, b, hier.levels[0], config, forward=True)
+        return _smooth_level(
+            x, b, hier.levels[0], config, forward=True, use_pallas=pallas_ok[0]
+        )
 
     # Downstroke.
     rhs = [b] + [None] * (nlev - 1)
@@ -221,7 +261,9 @@ def v_cycle(
     for level in range(nlev - 1):
         c = hier.levels[level]
         xl = x if level == 0 else jnp.zeros(c.shape, dtype=dtype)
-        xl = _smooth_level(xl, rhs[level], c, config, forward=True)
+        xl = _smooth_level(
+            xl, rhs[level], c, config, forward=True, use_pallas=pallas_ok[level]
+        )
         sols[level] = xl
         r = stencil.residual(xl, rhs[level], c)
         rhs[level + 1] = transfer.restrict(r, hier.levels[level + 1].solvable)
@@ -233,7 +275,9 @@ def v_cycle(
     for level in range(nlev - 2, -1, -1):
         c = hier.levels[level]
         xl = transfer.prolong_add(sols[level], sols[level + 1], c.solvable)
-        xl = _smooth_level(xl, rhs[level], c, config, forward=False)
+        xl = _smooth_level(
+            xl, rhs[level], c, config, forward=False, use_pallas=pallas_ok[level]
+        )
         sols[level] = xl
 
     return sols[0]

@@ -1,0 +1,78 @@
+"""Fused Pallas smoother vs the jnp reference operators (interpret mode).
+
+The kernel must be pass-for-pass equivalent to the jnp smoothing block
+(solver.mg._smooth_level): same schedule, same masks, same damping.  On CPU
+the kernel runs under the Pallas interpreter; on TPU the same code compiles
+via Mosaic (exercised by bench.py / the A/B harness in benchmarks/).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geometricmultigridpressuresolver_tpu.config import SolverConfig
+from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
+from geometricmultigridpressuresolver_tpu.solver import mg as mg_mod
+from tests import helpers
+
+
+@pytest.fixture(scope="module")
+def fixture32():
+    labels, weights, mg_levels = helpers.expanded_domain(
+        helpers.sine_dirichlet_domain, 32, fractional=True
+    )
+    config = SolverConfig(solve_dtype=jnp.float32)
+    hier = mg_mod.build_hierarchy(labels, weights, mg_levels, config)
+    c = hier.levels[0]
+    rng = np.random.default_rng(7)
+    x = jnp.where(
+        c.solvable, jnp.asarray(rng.standard_normal(c.shape), dtype=jnp.float32), 0.0
+    )
+    b = jnp.where(
+        c.solvable, jnp.asarray(rng.standard_normal(c.shape), dtype=jnp.float32), 0.0
+    )
+    return hier, c, x, b
+
+
+@pytest.mark.parametrize("forward", [True, False])
+@pytest.mark.parametrize("use_gs", [True, False])
+def test_fused_block_matches_jnp(fixture32, forward, use_gs):
+    hier, c, x, b = fixture32
+    config = SolverConfig(solve_dtype=jnp.float32, use_gauss_seidel=use_gs)
+    ref = mg_mod._smooth_level(x, b, c, config, forward=forward)
+    got = pallas_smoother.smooth_level_pallas(
+        x, b, c, config, forward=forward, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_fused_block_chunking(fixture32):
+    """Schedules deeper than the halo split into multiple kernel launches."""
+    hier, c, x, b = fixture32
+    config = SolverConfig(solve_dtype=jnp.float32, boundary_iterations=4)
+    assert len(pallas_smoother.schedule_for(config, True)) == 10  # 4+2+4
+    ref = mg_mod._smooth_level(x, b, c, config, forward=True)
+    got = pallas_smoother.smooth_level_pallas(
+        x, b, c, config, forward=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_eligibility_rules():
+    # level too coarse (padding 2**(nlev-1-level) < H)
+    assert not pallas_smoother.eligible((64, 64, 128), level=1, num_levels=4)
+    assert pallas_smoother.eligible((64, 64, 128), level=0, num_levels=4)
+    # lane dim must be a multiple of 128
+    assert not pallas_smoother.eligible((64, 64, 64), level=0, num_levels=4)
+    # dims 0/1 must tile into slabs
+    assert not pallas_smoother.eligible((20, 64, 128), level=0, num_levels=4)
+
+
+def test_zero_outside_solvable_preserved(fixture32):
+    hier, c, x, b = fixture32
+    config = SolverConfig(solve_dtype=jnp.float32)
+    got = pallas_smoother.smooth_level_pallas(
+        x, b, c, config, forward=True, interpret=True
+    )
+    out = np.asarray(got)
+    assert (out[~np.asarray(c.solvable)] == 0).all()
