@@ -79,8 +79,8 @@ class SolverConfig:
     # geometry preconditions, jnp stencils elsewhere; "jnp" forces the
     # reference-shaped XLA path; "pallas" fails loudly if ineligible.
     kernel_mode: str = "auto"
-    pallas_block_t: int = 8
-    pallas_block_y: int = 64
+    pallas_block_t: int = 16
+    pallas_block_y: int = 48
 
     @property
     def mg_dtype_resolved(self):

@@ -112,42 +112,79 @@ def _neighbor_shift(x, axis: int, up: bool):
     return jnp.concatenate([z, x[tuple(sl)]], axis=axis)
 
 
-def _make_kernel(schedule: tuple[str, ...], damping: float, t: int, y: int):
-    """Kernel factory; all geometry is static."""
+def _make_kernel(
+    schedule: tuple[str, ...], damping: float, t: int, y: int, gy: int, nb: int
+):
+    """Kernel factory; all geometry is static.
+
+    1-D grid over nb = gx * gy blocks with two slab slots: while block k is
+    computed, block k+1's seven input slabs stream in (double buffering) --
+    the kernel is DMA-bound (measured ~3.4 ms DMA vs ~2.8 ms compute for the
+    default 8-pass schedule at 256^3), so the overlap hides most of the
+    compute.
+    """
     assert len(schedule) <= H and all(k in _KINDS for k in schedule)
     w = damping
+    sx, sy = t + 2 * H, y + 2 * H
 
     def kernel(
         x_hbm, b_hbm, id_hbm, e0_hbm, e1_hbm, e2_hbm, band_hbm, _zin_hbm,
         out_hbm,
-        xs, bs, ids, e0s, e1s, e2s, bands, sem,
+        xs, bs, ids, e0s, e1s, e2s, bands, in_sem, out_sem,
     ):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        ox = i * t  # input slab origin (output origin is ox + H)
-        oy = j * y
-        sx, sy = t + 2 * H, y + 2 * H
+        idx = pl.program_id(0)
+        cur = jax.lax.rem(idx, jnp.int32(2))
+        nxt = jax.lax.rem(idx + jnp.int32(1), jnp.int32(2))
 
-        loads = []
-        pairs = (
-            (x_hbm, xs), (b_hbm, bs), (id_hbm, ids),
-            (e0_hbm, e0s), (e1_hbm, e1s), (e2_hbm, e2s), (band_hbm, bands),
-        )
-        for n, (hbm, vmem) in enumerate(pairs):
-            cp = pltpu.make_async_copy(
-                hbm.at[pl.ds(ox, sx), pl.ds(oy, sy), :], vmem, sem.at[n]
+        hbms = (x_hbm, b_hbm, id_hbm, e0_hbm, e1_hbm, e2_hbm, band_hbm)
+        slabs = (xs, bs, ids, e0s, e1s, e2s, bands)
+
+        def in_copies(block, slot):
+            ox = (block // gy) * t
+            oy = jax.lax.rem(block, jnp.int32(gy)) * y
+            return [
+                pltpu.make_async_copy(
+                    hbm.at[pl.ds(ox, sx), pl.ds(oy, sy), :],
+                    vmem.at[slot],
+                    in_sem.at[slot, n],
+                )
+                for n, (hbm, vmem) in enumerate(zip(hbms, slabs))
+            ]
+
+        def out_copy(block, slot):
+            ox = (block // gy) * t
+            oy = jax.lax.rem(block, jnp.int32(gy)) * y
+            return pltpu.make_async_copy(
+                xs.at[slot, pl.ds(H, t), pl.ds(H, y), :],
+                out_hbm.at[pl.ds(ox + H, t), pl.ds(oy + H, y), :],
+                out_sem.at[slot],
             )
-            cp.start()
-            loads.append(cp)
-        for cp in loads:
+
+        @pl.when(idx == 0)
+        def _():
+            for cp in in_copies(idx, cur):
+                cp.start()
+
+        @pl.when(idx + 1 < nb)
+        def _():
+            # The slot we prefetch into sourced block idx-1's output DMA;
+            # its x slab must be fully drained before being overwritten.
+            @pl.when(idx >= 1)
+            def _():
+                out_copy(idx - 1, nxt).wait()
+
+            for cp in in_copies(idx + 1, nxt):
+                cp.start()
+
+        for cp in in_copies(idx, cur):
             cp.wait()
 
-        x = xs[:]
-        b = bs[:]
-        invd = ids[:]
-        e0, e1, e2 = e0s[:], e1s[:], e2s[:]
+        x = xs[cur]
+        b = bs[cur]
+        invd = ids[cur]
+        e0, e1, e2 = e0s[cur], e1s[cur], e2s[cur]
         # int8 vector compares are unsupported on TPU; blend arithmetically.
-        band_f = bands[:].astype(x.dtype)
+        band_f = bands[cur].astype(x.dtype)
 
         # Checkerboard parity: global parity == local parity because the
         # slab origin (ox, oy, 0) has even coordinate sum (t, y even).
@@ -176,14 +213,17 @@ def _make_kernel(schedule: tuple[str, ...], damping: float, t: int, y: int):
                 mask = red if kind == "r" else jnp.logical_not(red)
                 x = jnp.where(mask, upd, x)
 
-        xs[:] = x
-        store = pltpu.make_async_copy(
-            xs.at[pl.ds(H, t), pl.ds(H, y), :],
-            out_hbm.at[pl.ds(ox + H, t), pl.ds(oy + H, y), :],
-            sem.at[7],
-        )
-        store.start()
-        store.wait()
+        xs[cur] = x
+        out_copy(idx, cur).start()
+
+        @pl.when(idx == nb - 1)
+        def _():
+            out_copy(idx, cur).wait()
+            # Drain the previous block's output too (its wait normally
+            # happens in the NEXT step's prefetch, which won't run).
+            @pl.when(idx >= 1)
+            def _():
+                out_copy(idx - 1, nxt).wait()
 
     return kernel
 
@@ -216,30 +256,35 @@ def fused_smooth(
     rx, ry = nx - 2 * H, ny - 2 * H
     tb = _pick_tile(rx, block_t)
     yb = _pick_tile(ry, block_y)
-    grid = (rx // tb, ry // yb)
+    gx, gy = rx // tb, ry // yb
+    nb = gx * gy
     sx, sy = tb + 2 * H, yb + 2 * H
 
-    kernel = _make_kernel(schedule, damping, tb, yb)
+    kernel = _make_kernel(schedule, damping, tb, yb, gy, nb)
     fdt = x.dtype
-    slab = lambda dt: pltpu.VMEM((sx, sy, nz), dt)  # noqa: E731
+    slab = lambda dt: pltpu.VMEM((2, sx, sy, nz), dt)  # noqa: E731
 
     zin = jnp.zeros_like(x)
-    vmem_bytes = (6 * 4 + 1) * sx * sy * nz + 4 * tb * yb * nz
+    # Scratch (2 slots x 6 fp32 + int8 slabs) plus generous headroom for the
+    # compiler's compute temporaries (shift/concat intermediates).
+    slab_bytes = sx * sy * nz
+    vmem_bytes = 2 * (6 * 4 + 1) * slab_bytes + 8 * 4 * slab_bytes + (4 << 20)
 
     return pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(nb,),
         out_shape=jax.ShapeDtypeStruct(x.shape, fdt),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 8,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             slab(fdt), slab(fdt), slab(fdt), slab(fdt), slab(fdt), slab(fdt),
-            pltpu.VMEM((sx, sy, nz), jnp.int8),
-            pltpu.SemaphoreType.DMA((8,)),
+            pltpu.VMEM((2, sx, sy, nz), jnp.int8),
+            pltpu.SemaphoreType.DMA((2, 7)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         input_output_aliases={7: 0},  # zero-filled shells
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(2 * vmem_bytes + (1 << 20), 128 << 20),
+            vmem_limit_bytes=min(vmem_bytes, 120 << 20),
         ),
         interpret=interpret,
     )(x, b, inv_diag, ew0, ew1, ew2, band_i8, zin)
