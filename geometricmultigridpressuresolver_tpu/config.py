@@ -81,6 +81,13 @@ class SolverConfig:
     kernel_mode: str = "auto"
     pallas_block_t: int = 16
     pallas_block_y: int = 48
+    # Storage dtype of the V-cycle's off-diagonal edge weights (None keeps
+    # the mg dtype).  bfloat16 halves the largest coefficient arrays' HBM
+    # traffic; unit weights (all faces away from the irregular boundary)
+    # are exact in bfloat16, and quantizing the off-diagonal symmetrically
+    # preserves operator symmetry exactly, so the V-cycle remains a valid
+    # CG preconditioner.  The outer CG operator always stays in solve_dtype.
+    mg_ew_dtype: Any = None
 
     @property
     def mg_dtype_resolved(self):

@@ -262,13 +262,31 @@ def set_boundary_labels(labels, face_weights: Sequence | None):
     return xp.where((labels == INT) & touches, BND, labels).astype(LABEL_DTYPE)
 
 
-def coarsen_labels(fine_labels):
+def coarse_lane_pad(fine_nz: int) -> int:
+    """Extra EXTERIOR z-cells appended to a coarse level so its lane dim
+    stays a multiple of 128 (TPU fp32 tile width).
+
+    Padding with exterior cells leaves the linear system untouched (no DOFs,
+    zero fields) but keeps coarse levels eligible for the fused Pallas
+    smoother, whose HBM DMA requires 128-aligned lane slices.  Applied only
+    when the fine level is already lane-aligned and the half is large
+    enough that the pad is small relative to the level.
+    """
+    cz = fine_nz // 2
+    if fine_nz % 128 == 0 and cz >= 128 and cz % 128:
+        return ((cz + 127) // 128) * 128 - cz
+    return 0
+
+
+def coarsen_labels(fine_labels, lane_align: bool = False):
     """One level of label coarsening (8-children vote + boundary pass).
 
     Any DIRICHLET child -> DIRICHLET; else any solvable child -> INTERIOR;
     else EXTERIOR.  Then INTERIOR cells face-adjacent to DIRICHLET/EXTERIOR
     become BOUNDARY.  Coarse levels carry no fractional weights.
     Reference: Source/HDK_GeometricMultigridOperators.cpp:23-163.
+    With `lane_align`, the coarse grid gains `coarse_lane_pad` trailing
+    EXTERIOR cells along z (see above; transfers pad/slice to match).
     """
     xp = _xp(fine_labels)
     assert all(s % 2 == 0 for s in fine_labels.shape), fine_labels.shape
@@ -279,6 +297,10 @@ def coarsen_labels(fine_labels):
     coarse = xp.where(has_dirichlet, DIR, xp.where(has_interior, INT, EXT)).astype(
         LABEL_DTYPE
     )
+    if lane_align:
+        pad = coarse_lane_pad(fine_labels.shape[2])
+        if pad:
+            coarse = xp.pad(coarse, [(0, 0), (0, 0), (0, pad)], constant_values=EXT)
     return set_boundary_labels(coarse, None)
 
 
@@ -426,6 +448,13 @@ def check_coarsening(fine, coarse) -> bool:
     """
     fine = np.asarray(fine)
     coarse = np.asarray(coarse)
+    # Trailing lane padding (coarse_lane_pad) must be pure EXTERIOR; the
+    # semantic checks run on the natural half-resolution region.
+    natural_z = fine.shape[2] // 2
+    if coarse.shape[2] > natural_z:
+        if (coarse[:, :, natural_z:] != EXT).any():
+            return False
+        coarse = coarse[:, :, :natural_z]
     if tuple(2 * np.asarray(coarse.shape)) != fine.shape:
         return False
     if not np.array_equal(coarse, np.asarray(coarsen_labels(fine))):

@@ -46,10 +46,22 @@ def _restrict_axis(x: jax.Array, axis: int) -> jax.Array:
 
 
 def restrict(fine: jax.Array, coarse_solvable: jax.Array) -> jax.Array:
-    """Full-weighting restriction, masked to the coarse solvable set."""
+    """Full-weighting restriction, masked to the coarse solvable set.
+
+    The coarse grid may carry trailing EXTERIOR lane padding
+    (ops.domain.coarse_lane_pad); the natural half-resolution result is
+    zero-padded to the coarse shape.  Padding with zeros is the exact
+    transpose of the slice `prolong_add` applies, so the pair stays adjoint.
+    """
     out = fine
     for axis in range(3):
         out = _restrict_axis(out, axis)
+    if out.shape != coarse_solvable.shape:
+        pad = [
+            (0, cs - os)
+            for os, cs in zip(out.shape, coarse_solvable.shape)
+        ]
+        out = jnp.pad(out, pad)
     return jnp.where(coarse_solvable, out, jnp.zeros_like(out))
 
 
@@ -90,6 +102,13 @@ def prolong(coarse: jax.Array) -> jax.Array:
 def prolong_add(
     fine_x: jax.Array, coarse_x: jax.Array, fine_solvable: jax.Array
 ) -> jax.Array:
-    """fine_x += 4 * trilerp(coarse_x), masked to the fine solvable set."""
+    """fine_x += 4 * trilerp(coarse_x), masked to the fine solvable set.
+
+    If the coarse grid carries trailing lane padding, only its natural
+    (fine/2) region is interpolated (the transpose of `restrict`'s pad).
+    """
+    natural = tuple(s // 2 for s in fine_x.shape)
+    if coarse_x.shape != natural:
+        coarse_x = coarse_x[tuple(slice(0, s) for s in natural)]
     up = prolong(coarse_x)
     return jnp.where(fine_solvable, fine_x + up, fine_x)

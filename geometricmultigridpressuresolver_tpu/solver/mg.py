@@ -68,7 +68,7 @@ def _device_coeffs(labels, face_weights, boundary_width: int, dtype):
 def _device_level(labels, face_weights, boundary_width: int, dtype):
     """Build one level's coefficients + the next-coarser labels, on device."""
     coeffs = _device_coeffs(labels, face_weights, boundary_width, dtype)
-    coarse = domain_ops.coarsen_labels(labels)
+    coarse = domain_ops.coarsen_labels(labels, lane_align=True)
     has_dofs = domain_ops.is_solvable(coarse).any()
     return coeffs, coarse, has_dofs
 

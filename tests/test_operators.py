@@ -136,3 +136,33 @@ def test_blas_masked():
     assert float(blas.inf_norm(x, solv)) == 1.0
     y = blas.project_null_space(x, solv)
     assert abs(float(blas.dot(y, jnp.ones_like(y), solv))) < 1e-10
+
+
+def test_restriction_prolongation_adjoint_lane_padded():
+    """Adjointness must survive the coarse lane padding (coarse_lane_pad):
+    zero-pad after restriction is the exact transpose of the slice before
+    prolongation."""
+    import jax.numpy as jnp
+
+    from geometricmultigridpressuresolver_tpu.ops import domain as domain_ops
+    from geometricmultigridpressuresolver_tpu.ops import transfer
+
+    fine_shape = (16, 16, 384)  # coarse natural z = 192 -> padded to 256
+    assert domain_ops.coarse_lane_pad(384) == 64
+    coarse_shape = (8, 8, 256)
+    rng = np.random.default_rng(5)
+    fine = jnp.asarray(rng.standard_normal(fine_shape))
+    coarse = jnp.asarray(rng.standard_normal(coarse_shape))
+    all_fine = jnp.ones(fine_shape, dtype=bool)
+    all_coarse = jnp.ones(coarse_shape, dtype=bool)
+
+    r = transfer.restrict(fine, all_coarse)
+    assert r.shape == coarse_shape
+    assert float(jnp.abs(r[:, :, 192:]).max()) == 0.0
+    p = transfer.prolong_add(jnp.zeros(fine_shape), coarse, all_fine)
+
+    # <R f, c> == 1/(4*8) <f, P c>  (prolongation = 4 * 2^3 x restriction^T
+    # per the separable weights)
+    lhs = float(jnp.vdot(r, coarse))
+    rhs = float(jnp.vdot(fine, p)) / 32.0
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
