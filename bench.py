@@ -55,6 +55,7 @@ def main() -> None:
     config = SolverConfig(
         solve_dtype=jnp.float32,
         mg_dtype=jnp.float32,
+        mg_ew_dtype=jnp.bfloat16,
         tolerance=tol,
         max_iterations=200,
     )

@@ -262,13 +262,15 @@ def fused_smooth(
 
     kernel = _make_kernel(schedule, damping, tb, yb, gy, nb)
     fdt = x.dtype
+    edt = ew0.dtype  # possibly narrower (config.mg_ew_dtype)
     slab = lambda dt: pltpu.VMEM((2, sx, sy, nz), dt)  # noqa: E731
 
     zin = jnp.zeros_like(x)
-    # Scratch (2 slots x 6 fp32 + int8 slabs) plus generous headroom for the
-    # compiler's compute temporaries (shift/concat intermediates).
+    # Scratch (2 slots x {3 field fp32 + 3 ew + int8} slabs) plus generous
+    # headroom for the compiler's compute temporaries.
     slab_bytes = sx * sy * nz
-    vmem_bytes = 2 * (6 * 4 + 1) * slab_bytes + 8 * 4 * slab_bytes + (4 << 20)
+    per_cell = 3 * fdt.itemsize + 3 * edt.itemsize + 1
+    vmem_bytes = 2 * per_cell * slab_bytes + 8 * 4 * slab_bytes + (4 << 20)
 
     return pl.pallas_call(
         kernel,
@@ -277,7 +279,7 @@ def fused_smooth(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 8,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            slab(fdt), slab(fdt), slab(fdt), slab(fdt), slab(fdt), slab(fdt),
+            slab(fdt), slab(fdt), slab(fdt), slab(edt), slab(edt), slab(edt),
             pltpu.VMEM((2, sx, sy, nz), jnp.int8),
             pltpu.SemaphoreType.DMA((2, 7)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -49,25 +49,36 @@ class MGHierarchy(NamedTuple):
         return len(self.levels)
 
 
-@functools.partial(jax.jit, static_argnames=("boundary_width", "dtype"))
-def _device_coeffs(labels, face_weights, boundary_width: int, dtype):
-    """Build one level's stencil coefficients on device."""
+@functools.partial(jax.jit, static_argnames=("boundary_width", "dtype", "ew_dtype"))
+def _device_coeffs(labels, face_weights, boundary_width: int, dtype, ew_dtype=None):
+    """Build one level's stencil coefficients on device.
+
+    `ew_dtype` optionally narrows the storage of the off-diagonal edge
+    weights (config.mg_ew_dtype): unit weights stay exact, and quantizing
+    the off-diagonal symmetrically keeps the operator symmetric, so the
+    V-cycle remains a valid CG preconditioner.  diag/inv_diag stay in
+    `dtype` (an exact reciprocal pair, which the smoother identity
+    inv_diag * diag = 1 relies on).
+    """
     c = domain_ops.build_level_coefficients(labels, face_weights, boundary_width, dtype)
+    ew = c["ew"]
+    if ew_dtype is not None:
+        ew = [w.astype(ew_dtype) for w in ew]
     return stencil.LevelCoeffs(
         solvable=c["solvable"],
         band=c["band"],
         diag=c["diag"],
         inv_diag=c["inv_diag"],
-        ew0=c["ew"][0],
-        ew1=c["ew"][1],
-        ew2=c["ew"][2],
+        ew0=ew[0],
+        ew1=ew[1],
+        ew2=ew[2],
     )
 
 
-@functools.partial(jax.jit, static_argnames=("boundary_width", "dtype"))
-def _device_level(labels, face_weights, boundary_width: int, dtype):
+@functools.partial(jax.jit, static_argnames=("boundary_width", "dtype", "ew_dtype"))
+def _device_level(labels, face_weights, boundary_width: int, dtype, ew_dtype=None):
     """Build one level's coefficients + the next-coarser labels, on device."""
-    coeffs = _device_coeffs(labels, face_weights, boundary_width, dtype)
+    coeffs = _device_coeffs(labels, face_weights, boundary_width, dtype, ew_dtype)
     coarse = domain_ops.coarsen_labels(labels, lane_align=True)
     has_dofs = domain_ops.is_solvable(coarse).any()
     return coeffs, coarse, has_dofs
@@ -89,6 +100,7 @@ def build_hierarchy(
     solver is assembled on the host.
     """
     dtype = config.mg_dtype_resolved
+    ew_dtype = config.mg_ew_dtype
     target_levels = mg_levels
     if config.max_mg_levels is not None:
         target_levels = min(target_levels, config.max_mg_levels)
@@ -110,10 +122,12 @@ def build_hierarchy(
             s % 2 == 0 for s in cur.shape
         )
         if not can_coarsen:
-            levels.append(_device_coeffs(cur, fw_i, config.boundary_width, dtype))
+            levels.append(
+                _device_coeffs(cur, fw_i, config.boundary_width, dtype, ew_dtype)
+            )
             break
         coeffs, coarse, has_dofs = _device_level(
-            cur, fw_i, config.boundary_width, dtype
+            cur, fw_i, config.boundary_width, dtype, ew_dtype
         )
         levels.append(coeffs)
         if not bool(has_dofs):

@@ -44,7 +44,7 @@ def build_problem(
 ) -> PoissonProblem:
     """Host-side setup from expanded+relabeled labels (+ finest weights)."""
     hier = mg_mod.build_hierarchy(labels, face_weights, mg_levels, config, validate)
-    if config.mg_dtype_resolved == config.solve_dtype:
+    if config.mg_dtype_resolved == config.solve_dtype and config.mg_ew_dtype is None:
         # Same precision: the hierarchy's finest level doubles as the CG
         # operator (saves one full-resolution coefficient set).
         fine = hier.levels[0]
