@@ -88,6 +88,11 @@ class SolverConfig:
     # preserves operator symmetry exactly, so the V-cycle remains a valid
     # CG preconditioner.  The outer CG operator always stays in solve_dtype.
     mg_ew_dtype: Any = None
+    # Transfer operators: "mm" runs restriction/prolongation as per-axis
+    # matmuls on the MXU (exactly adjoint by construction: the prolongation
+    # uses the transposed restriction matrix), "slice" is the shift-based
+    # VPU path, "auto" picks mm on TPU.
+    transfer_mode: str = "auto"
 
     @property
     def mg_dtype_resolved(self):

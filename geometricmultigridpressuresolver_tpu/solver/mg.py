@@ -211,6 +211,18 @@ def _smooth_level(
     return x
 
 
+def _use_mm_transfers(config: SolverConfig) -> bool:
+    """MXU matmul transfers on TPU ("auto"); explicit modes win."""
+    if config.transfer_mode == "mm":
+        return True
+    if config.transfer_mode == "slice":
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
 def _pallas_level_flags(hier: "MGHierarchy", config: SolverConfig) -> tuple[bool, ...]:
     """Per-level decision to use the fused Pallas smoothing kernel.
 
@@ -259,6 +271,10 @@ def v_cycle(
     x = x.astype(dtype)
     b = b.astype(dtype)
     pallas_ok = _pallas_level_flags(hier, config)
+    if _use_mm_transfers(config):
+        restrict, prolong_add = transfer.restrict_mm, transfer.prolong_add_mm
+    else:
+        restrict, prolong_add = transfer.restrict, transfer.prolong_add
 
     if not use_initial_guess:
         x = jnp.zeros_like(x)
@@ -280,7 +296,7 @@ def v_cycle(
         )
         sols[level] = xl
         r = stencil.residual(xl, rhs[level], c)
-        rhs[level + 1] = transfer.restrict(r, hier.levels[level + 1].solvable)
+        rhs[level + 1] = restrict(r, hier.levels[level + 1].solvable)
 
     # Coarsest level direct solve.
     sols[nlev - 1] = coarse_solve(hier, rhs[nlev - 1])
@@ -288,7 +304,7 @@ def v_cycle(
     # Upstroke with adjoint smoother ordering.
     for level in range(nlev - 2, -1, -1):
         c = hier.levels[level]
-        xl = transfer.prolong_add(sols[level], sols[level + 1], c.solvable)
+        xl = prolong_add(sols[level], sols[level + 1], c.solvable)
         xl = _smooth_level(
             xl, rhs[level], c, config, forward=False, use_pallas=pallas_ok[level]
         )

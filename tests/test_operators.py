@@ -166,3 +166,31 @@ def test_restriction_prolongation_adjoint_lane_padded():
     lhs = float(jnp.vdot(r, coarse))
     rhs = float(jnp.vdot(fine, p)) / 32.0
     np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def test_mm_transfers_match_slice_path():
+    """MXU matmul transfers must equal the slice-based path (same operator,
+    different rounding) and stay exactly adjoint."""
+    import jax.numpy as jnp
+
+    from geometricmultigridpressuresolver_tpu.ops import transfer
+
+    fine_shape = (16, 24, 384)
+    coarse_shape = (8, 12, 256)  # lane-padded coarse
+    rng = np.random.default_rng(9)
+    fine = jnp.asarray(rng.standard_normal(fine_shape))
+    coarse = jnp.asarray(rng.standard_normal(coarse_shape))
+    all_f = jnp.ones(fine_shape, dtype=bool)
+    all_c = jnp.ones(coarse_shape, dtype=bool)
+
+    r_sl = transfer.restrict(fine, all_c)
+    r_mm = transfer.restrict_mm(fine, all_c)
+    np.testing.assert_allclose(np.asarray(r_mm), np.asarray(r_sl), atol=1e-12)
+
+    p_sl = transfer.prolong_add(jnp.zeros(fine_shape), coarse, all_f)
+    p_mm = transfer.prolong_add_mm(jnp.zeros(fine_shape), coarse, all_f)
+    np.testing.assert_allclose(np.asarray(p_mm), np.asarray(p_sl), atol=1e-12)
+
+    lhs = float(jnp.vdot(r_mm, coarse))
+    rhs = float(jnp.vdot(fine, p_mm)) / 32.0
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
