@@ -278,12 +278,30 @@ def _jitted():
     return _setup_base_jit, _expand_compact_jit, _expand_classic_jit
 
 
+def validate_density(density) -> float | None:
+    """Constant-density validation, mirroring the reference node.
+
+    The reference loads a density field, requires it to be constant, and
+    rejects variable density ("Variable density is not currently
+    supported", Source/HDK_GeometricFreeSurfacePressureSolver.cpp:245-250);
+    the constant value itself does not enter the solve (the computed
+    pressure is p / rho).  Accepts None, a scalar, or a constant array.
+    """
+    if density is None:
+        return None
+    arr = np.asarray(density)
+    if arr.size > 1 and not np.all(arr == arr.flat[0]):
+        raise ValueError("Variable density is not currently supported")
+    return float(arr.flat[0])
+
+
 def build_setup(
     liquid_phi,
     cut_cell_weights: Sequence,
     solid_phi=None,
     config: SolverConfig = SolverConfig(),
     validate: bool = False,
+    density=None,
 ) -> ProjectionSetup:
     """Steps 1-4: labels, valid faces, MG domain + weights, expansion.
 
@@ -294,6 +312,7 @@ def build_setup(
     narrow Dirichlet band -- the same linear system as the reference's
     full-grid power-of-two expansion at a fraction of the cell count.
     """
+    validate_density(density)
     sd = config.solve_dtype
     liquid_phi = jnp.asarray(liquid_phi, dtype=sd)
     cut_cell_weights = tuple(jnp.asarray(w, dtype=sd) for w in cut_cell_weights)

@@ -35,6 +35,12 @@ def inf_norm(x: jax.Array, solvable: jax.Array) -> jax.Array:
     return jnp.max(jnp.where(solvable, ax, jnp.zeros_like(ax)))
 
 
+def scale(x: jax.Array, s) -> jax.Array:
+    """s * x (reference scaleVector,
+    Source/HDK_GeometricMultigridOperators.h:974-1018)."""
+    return s * x
+
+
 def axpy(y: jax.Array, scale, x: jax.Array) -> jax.Array:
     """y + scale * x (reference addToVector)."""
     return y + scale * x

@@ -1,0 +1,225 @@
+"""Fused CG-step kernel (Pallas, TPU): p' = z + beta*p, Ap', <p', Ap'>.
+
+The outer PCG iteration spends ~40% of its non-preconditioner time on
+three separate full-grid passes: the search-direction update
+p' = z + beta * p, the mat-vec Ap' (reference applyPoissonMatrix,
+Source/HDK_GeometricMultigridOperators.h:621-714), and the dot product
+<p', Ap'> (h:1020-1085).  This kernel fuses them: one slab pass reads
+z, p, diag, ew0..2 once, writes p' and Ap', and accumulates the dot
+partials sequentially in SMEM (a fixed reduction order, preserving the
+reference's deterministic per-tile partial-sum semantics).
+
+Geometry matches ops.pallas_smoother: full-z slabs over a (T, Y) grid of
+output blocks shifted H cells into the array (no solvable cells live in
+the outer H shells), double-buffered HBM->VMEM streaming, zero-aliased
+output shells.  Fields are zero outside the solvable set and the stencil
+produces zeros at non-solvable cells (zero diag and edge weights), so the
+unmasked in-kernel dot equals the reference's masked dot.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from geometricmultigridpressuresolver_tpu.ops.pallas_smoother import (
+    H,
+    _pick_tile,
+    eligible,
+)
+
+
+def _shz(v, up: bool):
+    """Zero-filled unit shift along the lane (z) axis."""
+    zrow = jnp.zeros(v.shape[:-1] + (1,), dtype=v.dtype)
+    if up:
+        return jnp.concatenate([v[..., 1:], zrow], axis=-1)
+    return jnp.concatenate([zrow, v[..., :-1]], axis=-1)
+
+
+def _make_kernel(t: int, y: int, gy: int, nb: int):
+    # All six arrays stream in with the same haloed slab: 1-cell halo in x
+    # (dim-0 offsets are unconstrained), 8-cell halo in y (sublane-aligned
+    # offsets; only 1 cell is consumed).
+    sxh, syh = t + 2, y + 2 * H
+
+    def kernel(
+        z_hbm, p_hbm, dg_hbm, e0_hbm, e1_hbm, e2_hbm, beta_smem,
+        _zin0, _zin1,
+        pn_hbm, ap_hbm, dot_smem,
+        zs, ps, dgs, e0s, e1s, e2s, acc, in_sem, out_sem,
+    ):
+        idx = pl.program_id(0)
+        cur = jax.lax.rem(idx, jnp.int32(2))
+        nxt = jax.lax.rem(idx + jnp.int32(1), jnp.int32(2))
+
+        pairs = (
+            (z_hbm, zs), (p_hbm, ps), (dg_hbm, dgs),
+            (e0_hbm, e0s), (e1_hbm, e1s), (e2_hbm, e2s),
+        )
+
+        def in_copies(block, slot):
+            ox = (block // gy) * t
+            oy = jax.lax.rem(block, jnp.int32(gy)) * y
+            return [
+                pltpu.make_async_copy(
+                    hbm.at[pl.ds(ox + H - 1, sxh), pl.ds(oy, syh), :],
+                    vmem.at[slot],
+                    in_sem.at[slot, n],
+                )
+                for n, (hbm, vmem) in enumerate(pairs)
+            ]
+
+        def out_copies(block, slot):
+            ox = (block // gy) * t
+            oy = jax.lax.rem(block, jnp.int32(gy)) * y
+            return [
+                pltpu.make_async_copy(
+                    ps.at[slot, pl.ds(1, t), pl.ds(H, y), :],
+                    pn_hbm.at[pl.ds(ox + H, t), pl.ds(oy + H, y), :],
+                    out_sem.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    zs.at[slot, pl.ds(1, t), pl.ds(H, y), :],
+                    ap_hbm.at[pl.ds(ox + H, t), pl.ds(oy + H, y), :],
+                    out_sem.at[slot, 1],
+                ),
+            ]
+
+        @pl.when(idx == 0)
+        def _():
+            acc[0, 0] = jnp.float32(0.0)
+            for cp in in_copies(idx, cur):
+                cp.start()
+
+        @pl.when(idx + 1 < nb)
+        def _():
+            # The slot we prefetch into sourced block idx-1's output DMAs.
+            @pl.when(idx >= 1)
+            def _():
+                for cp in out_copies(idx - 1, nxt):
+                    cp.wait()
+
+            for cp in in_copies(idx + 1, nxt):
+                cp.start()
+
+        for cp in in_copies(idx, cur):
+            cp.wait()
+
+        beta = beta_smem[0, 0]
+        pp = zs[cur] + beta * ps[cur]  # p' over the haloed slab
+        dg = dgs[cur]
+        e0, e1, e2 = e0s[cur], e1s[cur], e2s[cur]
+
+        def ctr(v):
+            return v[1 : 1 + t, H : H + y, :]
+
+        c = ctr(pp)
+        e0c, e1c, e2c = ctr(e0), ctr(e1), ctr(e2)
+        # S[i] = e[i] * p'[i+1] + e[i-1] * p'[i-1] per axis (cell-shaped
+        # upper-face weights; ops.stencil.neighbor_sum).
+        s = (
+            e0c * pp[2 : 2 + t, H : H + y, :]
+            + e0[0:t, H : H + y, :] * pp[0:t, H : H + y, :]
+            + e1c * pp[1 : 1 + t, H + 1 : H + y + 1, :]
+            + e1[1 : 1 + t, H - 1 : H + y - 1, :] * pp[1 : 1 + t, H - 1 : H + y - 1, :]
+            + e2c * _shz(c, True)
+            + _shz(e2c * c, False)
+        )
+        ap = ctr(dg) * c - s
+        acc[0, 0] = acc[0, 0] + jnp.sum(c * ap, dtype=jnp.float32)
+
+        # Reuse the consumed input slabs as output staging.
+        ps[cur, pl.ds(1, t), pl.ds(H, y), :] = c
+        zs[cur, pl.ds(1, t), pl.ds(H, y), :] = ap
+        for cp in out_copies(idx, cur):
+            cp.start()
+
+        @pl.when(idx == nb - 1)
+        def _():
+            for cp in out_copies(idx, cur):
+                cp.wait()
+
+            @pl.when(idx >= 1)
+            def _():
+                for cp in out_copies(idx - 1, nxt):
+                    cp.wait()
+
+            dot_smem[0, 0] = acc[0, 0]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_t", "block_y", "interpret")
+)
+def fused_search_matvec_dot(
+    z: jax.Array,
+    p: jax.Array,
+    beta: jax.Array,
+    diag: jax.Array,
+    ew0: jax.Array,
+    ew1: jax.Array,
+    ew2: jax.Array,
+    block_t: int = 16,
+    block_y: int = 48,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (p_new, A @ p_new, <p_new, A @ p_new>) in one fused pass.
+
+    Preconditions as ops.pallas_smoother.eligible: solvable cells confined
+    to [H, n-H) in dims 0/1, lane dim a multiple of 128.  `beta` is a
+    traced scalar.
+    """
+    nx, ny, nz = z.shape
+    rx, ry = nx - 2 * H, ny - 2 * H
+    tb = _pick_tile(rx, block_t)
+    yb = _pick_tile(ry, block_y)
+    gx, gy = rx // tb, ry // yb
+    nb = gx * gy
+    sxh, syh = tb + 2, yb + 2 * H
+
+    kernel = _make_kernel(tb, yb, gy, nb)
+    fdt = z.dtype
+    slab = lambda dt: pltpu.VMEM((2, sxh, syh, nz), dt)  # noqa: E731
+
+    beta_arr = jnp.asarray(beta, dtype=fdt).reshape(1, 1)
+    zin = jnp.zeros_like(z)
+    slab_bytes = sxh * syh * nz
+    vmem_bytes = 2 * 6 * 4 * slab_bytes + 6 * 4 * slab_bytes + (4 << 20)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=(
+            jax.ShapeDtypeStruct(z.shape, fdt),
+            jax.ShapeDtypeStruct(z.shape, fdt),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6
+        + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            slab(fdt), slab(fdt), slab(fdt), slab(fdt), slab(fdt), slab(fdt),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 6)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        input_output_aliases={7: 0, 8: 1},  # zero-filled shells
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem_bytes, 120 << 20),
+        ),
+        interpret=interpret,
+    )(z, p, diag, ew0, ew1, ew2, beta_arr, zin, jnp.zeros_like(z))

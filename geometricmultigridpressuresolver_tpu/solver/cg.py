@@ -97,6 +97,80 @@ def solve_pcg(
     return CGResult(x_out, iterations, rel, converged)
 
 
+def solve_pcg_fused(
+    step_p: Callable[[jax.Array, jax.Array, jax.Array], tuple],
+    apply_a: Callable[[jax.Array], jax.Array],
+    apply_preconditioner: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    solvable: jax.Array,
+    x0: jax.Array | None = None,
+    tolerance: float = 1e-5,
+    max_iterations: int = 2500,
+    project_null_space: bool = False,
+) -> CGResult:
+    """PCG with a fused search-direction/mat-vec/dot step.
+
+    `step_p(z, p, beta) -> (p_new, A p_new, <p_new, A p_new>)` replaces the
+    three separate passes of the textbook body (see ops.pallas_cg).  The
+    iteration sequence is algebraically identical to `solve_pcg`: the same
+    updates run in the same order, only the carry is rotated so the
+    search-direction update opens the body instead of closing it.
+    """
+    dtype = b.dtype
+    x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
+
+    def project(v):
+        return blas.project_null_space(v, solvable) if project_null_space else v
+
+    b = project(b)
+    b_norm2 = blas.squared_l2_norm(b, solvable)
+    threshold = dtype.type(tolerance) ** 2 * b_norm2
+
+    r = project(jnp.where(solvable, b - apply_a(x), jnp.zeros_like(b)))
+    z = project(apply_preconditioner(r))
+    rho0 = blas.dot(r, z, solvable)
+    rr0 = blas.squared_l2_norm(r, solvable)
+
+    class _FState(NamedTuple):
+        x: jax.Array
+        r: jax.Array
+        z: jax.Array
+        p: jax.Array
+        rho: jax.Array
+        beta: jax.Array
+        rr: jax.Array
+        iteration: jax.Array
+
+    def cond(s):
+        return (s.rr > threshold) & (s.iteration < max_iterations)
+
+    def body(s):
+        p, ap, pap = step_p(s.z, s.p, s.beta)
+        pap = pap.reshape(()).astype(dtype)
+        alpha = s.rho / jnp.where(pap == 0, jnp.ones_like(pap), pap)
+        x = s.x + alpha * p
+        r = project(jnp.where(solvable, s.r - alpha * ap, s.r))
+        z = project(apply_preconditioner(r))
+        rho_new = blas.dot(r, z, solvable)
+        beta = rho_new / jnp.where(s.rho == 0, jnp.ones_like(s.rho), s.rho)
+        rr = blas.squared_l2_norm(r, solvable)
+        return _FState(x, r, z, p, rho_new, beta, rr, s.iteration + 1)
+
+    init = _FState(
+        x, r, z, z, rho0, jnp.zeros_like(rho0), rr0, jnp.int32(0)
+    )
+    final = jax.lax.while_loop(cond, body, init)
+
+    zero_rhs = b_norm2 == 0
+    x_out = jnp.where(zero_rhs, jnp.zeros_like(final.x), final.x)
+    safe_bnorm = jnp.where(zero_rhs, jnp.ones_like(b_norm2), b_norm2)
+    rel = jnp.sqrt(final.rr / safe_bnorm)
+    rel = jnp.where(zero_rhs, jnp.zeros_like(rel), rel)
+    converged = zero_rhs | (final.rr <= threshold)
+    iterations = jnp.where(zero_rhs, jnp.int32(0), final.iteration)
+    return CGResult(x_out, iterations, rel, converged)
+
+
 def recomputed_residual_norms(apply_a, x, b, solvable):
     """Recompute ||b - Ax|| diagnostics (reference prints 'recomputed' vs
     'drifted' residuals, Source/HDK_GeometricCGPoissonSolver.h:198-206).

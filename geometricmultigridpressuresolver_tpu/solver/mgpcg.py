@@ -82,6 +82,33 @@ def _solve(problem: PoissonProblem, rhs, x0, config: SolverConfig, has_x0: bool)
         def preconditioner(r):
             return fine.inv_diag * r
 
+    # Fused search-direction/mat-vec/dot step (ops.pallas_cg) when the fine
+    # level runs the Pallas path; same gating as the smoother kernel.
+    use_fused = (
+        mg_mod._pallas_level_flags(problem.hier, config)[0]
+        and fine.diag.dtype == jnp.float32
+    )
+    if use_fused:
+        from geometricmultigridpressuresolver_tpu.ops import pallas_cg
+
+        def step_p(z, p, beta):
+            return pallas_cg.fused_search_matvec_dot(
+                z, p, beta, fine.diag, fine.ew0, fine.ew1, fine.ew2,
+                block_t=config.pallas_block_t, block_y=config.pallas_block_y,
+            )
+
+        return cg_mod.solve_pcg_fused(
+            step_p,
+            apply_a,
+            preconditioner,
+            rhs.astype(solve_dtype),
+            fine.solvable,
+            x0=x0 if has_x0 else None,
+            tolerance=config.tolerance,
+            max_iterations=config.max_iterations,
+            project_null_space=config.project_null_space,
+        )
+
     return cg_mod.solve_pcg(
         apply_a,
         preconditioner,

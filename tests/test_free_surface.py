@@ -138,3 +138,55 @@ def test_compact_matches_classic():
         np.asarray(r_compact.pressure), np.asarray(r_classic.pressure),
         rtol=0, atol=1e-7,
     )
+
+
+def test_density_validation():
+    """Constant density accepted; variable density rejected (reference
+    Source/HDK_GeometricFreeSurfacePressureSolver.cpp:245-250)."""
+    from geometricmultigridpressuresolver_tpu.models.free_surface import validate_density
+
+    assert validate_density(None) is None
+    assert validate_density(1000.0) == 1000.0
+    assert validate_density(np.full((4, 4, 4), 2.5)) == 2.5
+    with pytest.raises(ValueError, match="Variable density"):
+        validate_density(np.arange(8.0).reshape(2, 2, 2))
+
+
+def test_all_neumann_null_space_projection():
+    """Closed-box, no air: the all-Neumann (smoke) system is singular; CG
+    with null-space projection must still converge to a mean-free solution
+    (reference doProjectNullSpace, Source/HDK_Utilities.h:197-297)."""
+    from geometricmultigridpressuresolver_tpu.grids import CellLabel
+    from geometricmultigridpressuresolver_tpu.ops import blas, stencil
+    from geometricmultigridpressuresolver_tpu.ops import domain
+    from geometricmultigridpressuresolver_tpu.solver import mgpcg
+    from tests import helpers
+
+    n = 16
+    labels = np.full((n, n, n), int(CellLabel.INTERIOR), dtype=np.int8)
+    expanded, _, mg_levels = domain.expand_domain(labels)
+    weights = helpers.unit_weights(expanded)
+    expanded = domain.set_boundary_labels(expanded, weights)
+
+    config = SolverConfig(
+        tolerance=1e-8,
+        max_iterations=400,
+        project_null_space=True,
+        use_mg_preconditioner=False,  # singular coarse system has no inverse
+        max_mg_levels=1,
+    )
+    problem = mgpcg.build_problem(expanded, weights, 1, config)
+    solvable = problem.fine.solvable
+
+    rng = np.random.default_rng(2)
+    rhs = jnp.where(solvable, jnp.asarray(rng.standard_normal(expanded.shape)), 0.0)
+    rhs = blas.project_null_space(rhs, solvable)  # compatible RHS
+
+    result = mgpcg.solve(problem, rhs, config=config)
+    assert bool(result.converged)
+    # Solution is mean-free and solves the singular system.
+    mean = float(blas.masked_mean(result.x, solvable))
+    assert abs(mean) < 1e-10
+    r = jnp.where(solvable, rhs - stencil.apply_poisson(result.x, problem.fine), 0.0)
+    rel = float(blas.l2_norm(r, solvable) / blas.l2_norm(rhs, solvable))
+    assert rel < 1e-7

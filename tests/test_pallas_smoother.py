@@ -76,3 +76,22 @@ def test_zero_outside_solvable_preserved(fixture32):
     )
     out = np.asarray(got)
     assert (out[~np.asarray(c.solvable)] == 0).all()
+
+
+def test_fused_cg_step_matches_jnp(fixture32):
+    """ops.pallas_cg: p' = z + beta p, A p', <p', A p'> in one pass."""
+    from geometricmultigridpressuresolver_tpu.ops import blas, pallas_cg, stencil
+
+    hier, c, x, b = fixture32
+    z, p = x, b
+    beta = jnp.float32(0.7371)
+    p_ref = z + beta * p
+    ap_ref = jnp.where(c.solvable, stencil.apply_poisson(p_ref, c), 0.0)
+    pap_ref = float(blas.dot(p_ref, ap_ref, c.solvable))
+
+    pn, ap, pap = pallas_cg.fused_search_matvec_dot(
+        z, p, beta, c.diag, c.ew0, c.ew1, c.ew2, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(pn), np.asarray(p_ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(ap), np.asarray(ap_ref), atol=2e-5)
+    np.testing.assert_allclose(float(pap[0, 0]), pap_ref, rtol=1e-5)
