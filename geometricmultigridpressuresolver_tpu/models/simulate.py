@@ -1,0 +1,152 @@
+"""Minimal incompressible free-surface simulation driver.
+
+The reference's end-to-end oracle is `Scenes/flipSplash.hip`: a FLIP splash
+simulation with the pressure node in the loop, exercising per-frame label
+rebuilds, warm-started solves, and the post-projection divergence audit
+(SURVEY.md section 4.3).  This module is that scene without Houdini: a
+semi-Lagrangian advect -> gravity -> MGPCG-project loop over the SDF and
+MAC velocity.  It is intentionally simple (first-order advection, no
+particles) -- its job is to drive the pressure pipeline the way a real
+fluid solver does, not to be a production FLIP.
+
+Every step rebuilds the projection setup (the liquid topology changes
+frame to frame, exactly like the reference's per-cook label rebuild) and
+warm-starts CG from the previous pressure (reference `useOldPressure`,
+Source/HDK_GeometricFreeSurfacePressureSolver.cpp:408-418, 945-997).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.ndimage import map_coordinates
+
+from geometricmultigridpressuresolver_tpu.config import SolverConfig
+from geometricmultigridpressuresolver_tpu.models import free_surface
+
+
+def _cell_center_velocity(velocity: Sequence[jax.Array]) -> tuple:
+    """Average MAC faces to cell centers, per component."""
+    out = []
+    for axis in range(3):
+        v = velocity[axis]
+        lo = [slice(None)] * 3
+        hi = [slice(None)] * 3
+        lo[axis] = slice(0, -1)
+        hi[axis] = slice(1, None)
+        out.append(0.5 * (v[tuple(lo)] + v[tuple(hi)]))
+    return tuple(out)
+
+
+def _sample(field: jax.Array, idx: Sequence[jax.Array]) -> jax.Array:
+    """Trilinear sample at (fractional) index coordinates, edge-clamped."""
+    return map_coordinates(field, list(idx), order=1, mode="nearest")
+
+
+def _index_grid(shape, axis: int | None):
+    """Index coordinates of cell centers (axis=None) or face centers."""
+    coords = []
+    for a in range(3):
+        n = shape[a] + (1 if a == axis else 0)
+        # Cell center i sits at index i; face i along its own axis at i-0.5.
+        offset = -0.5 if a == axis else 0.0
+        coords.append(jnp.arange(n, dtype=jnp.float32) + offset)
+    return jnp.meshgrid(*coords, indexing="ij")
+
+
+def advect_scalar(field: jax.Array, velocity, dt: float, dx: float) -> jax.Array:
+    """Semi-Lagrangian advection of a cell-centered field."""
+    vc = _cell_center_velocity(velocity)
+    idx = _index_grid(field.shape, None)
+    back = [idx[a] - (dt / dx) * vc[a] for a in range(3)]
+    return _sample(field, back)
+
+
+def advect_velocity(velocity, dt: float, dx: float) -> tuple:
+    """Semi-Lagrangian advection of each MAC component."""
+    vc_cell = _cell_center_velocity(velocity)
+    out = []
+    for axis in range(3):
+        idx = _index_grid(vc_cell[0].shape, axis)
+        # Full velocity at this component's face positions.
+        vel_at_face = [
+            velocity[a] if a == axis
+            else _sample(vc_cell[a], [i for i in idx])
+            for a in range(3)
+        ]
+        back = [idx[a] - (dt / dx) * vel_at_face[a] for a in range(3)]
+        out.append(_sample(velocity[axis], back))
+    return tuple(out)
+
+
+class FrameResult(NamedTuple):
+    liquid_phi: jax.Array
+    velocity: tuple
+    pressure: jax.Array
+    iterations: int
+    relative_residual: float
+    max_divergence: float
+
+
+def step(
+    liquid_phi: jax.Array,
+    velocity: Sequence[jax.Array],
+    cut_cell_weights: Sequence[jax.Array],
+    dt: float,
+    gravity: float = -9.8,
+    old_pressure: jax.Array | None = None,
+    solid_phi: jax.Array | None = None,
+    config: SolverConfig = SolverConfig(),
+) -> FrameResult:
+    """One frame: advect, apply gravity, rebuild setup, project."""
+    dx = 1.0 / max(liquid_phi.shape)
+    velocity = tuple(jnp.asarray(v, dtype=config.solve_dtype) for v in velocity)
+    liquid_phi = jnp.asarray(liquid_phi, dtype=config.solve_dtype)
+
+    new_phi = advect_scalar(liquid_phi, velocity, dt, dx)
+    new_vel = list(advect_velocity(velocity, dt, dx))
+    new_vel[1] = new_vel[1] + config.solve_dtype(gravity * dt)
+
+    setup = free_surface.build_setup(
+        new_phi, cut_cell_weights, solid_phi=solid_phi, config=config
+    )
+    result = free_surface.project(
+        setup, tuple(new_vel), old_pressure=old_pressure, config=config
+    )
+    return FrameResult(
+        liquid_phi=new_phi,
+        velocity=result.velocity,
+        pressure=result.pressure,
+        iterations=int(result.cg.iterations),
+        relative_residual=float(result.cg.relative_residual),
+        max_divergence=float(result.max_divergence),
+    )
+
+
+def run(
+    liquid_phi,
+    velocity,
+    cut_cell_weights,
+    num_frames: int,
+    dt: float = 1.0 / 120.0,
+    gravity: float = -9.8,
+    solid_phi=None,
+    config: SolverConfig = SolverConfig(),
+    on_frame=None,
+) -> list[FrameResult]:
+    """Run `num_frames` steps, warm-starting each solve from the last
+    pressure; returns per-frame results (the flipSplash loop)."""
+    frames = []
+    pressure = None
+    for k in range(num_frames):
+        fr = step(
+            liquid_phi, velocity, cut_cell_weights, dt, gravity,
+            old_pressure=pressure, solid_phi=solid_phi, config=config,
+        )
+        frames.append(fr)
+        liquid_phi, velocity, pressure = fr.liquid_phi, fr.velocity, fr.pressure
+        if on_frame is not None:
+            on_frame(k, fr)
+    return frames

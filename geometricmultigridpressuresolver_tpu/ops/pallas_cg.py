@@ -154,6 +154,152 @@ def _make_kernel(t: int, y: int, gy: int, nb: int):
     return kernel
 
 
+def _make_residual_kernel(t: int, y: int, gy: int, nb: int):
+    """r = b - A x in one slab pass (reference computePoissonResidual,
+    Source/HDK_GeometricMultigridOperators.h:716-732)."""
+    sxh, syh = t + 2, y + 2 * H
+
+    def kernel(
+        x_hbm, b_hbm, dg_hbm, e0_hbm, e1_hbm, e2_hbm, _zin,
+        r_hbm,
+        xsl, bsl, dgs, e0s, e1s, e2s, in_sem, out_sem,
+    ):
+        idx = pl.program_id(0)
+        cur = jax.lax.rem(idx, jnp.int32(2))
+        nxt = jax.lax.rem(idx + jnp.int32(1), jnp.int32(2))
+
+        pairs = (
+            (x_hbm, xsl), (b_hbm, bsl), (dg_hbm, dgs),
+            (e0_hbm, e0s), (e1_hbm, e1s), (e2_hbm, e2s),
+        )
+
+        def in_copies(block, slot):
+            ox = (block // gy) * t
+            oy = jax.lax.rem(block, jnp.int32(gy)) * y
+            return [
+                pltpu.make_async_copy(
+                    hbm.at[pl.ds(ox + H - 1, sxh), pl.ds(oy, syh), :],
+                    vmem.at[slot],
+                    in_sem.at[slot, n],
+                )
+                for n, (hbm, vmem) in enumerate(pairs)
+            ]
+
+        def out_copy(block, slot):
+            ox = (block // gy) * t
+            oy = jax.lax.rem(block, jnp.int32(gy)) * y
+            return pltpu.make_async_copy(
+                xsl.at[slot, pl.ds(1, t), pl.ds(H, y), :],
+                r_hbm.at[pl.ds(ox + H, t), pl.ds(oy + H, y), :],
+                out_sem.at[slot],
+            )
+
+        @pl.when(idx == 0)
+        def _():
+            for cp in in_copies(idx, cur):
+                cp.start()
+
+        @pl.when(idx + 1 < nb)
+        def _():
+            @pl.when(idx >= 1)
+            def _():
+                out_copy(idx - 1, nxt).wait()
+
+            for cp in in_copies(idx + 1, nxt):
+                cp.start()
+
+        for cp in in_copies(idx, cur):
+            cp.wait()
+
+        xx = xsl[cur]
+        dg = dgs[cur]
+        e0, e1, e2 = e0s[cur], e1s[cur], e2s[cur]
+
+        def ctr(v):
+            return v[1 : 1 + t, H : H + y, :]
+
+        c = ctr(xx)
+        e2c = ctr(e2)
+        s = (
+            ctr(e0) * xx[2 : 2 + t, H : H + y, :]
+            + e0[0:t, H : H + y, :] * xx[0:t, H : H + y, :]
+            + ctr(e1) * xx[1 : 1 + t, H + 1 : H + y + 1, :]
+            + e1[1 : 1 + t, H - 1 : H + y - 1, :]
+            * xx[1 : 1 + t, H - 1 : H + y - 1, :]
+            + e2c * _shz(c, True)
+            + _shz(e2c * c, False)
+        )
+        r = ctr(bsl[cur]) - (ctr(dg) * c - s)
+
+        xsl[cur, pl.ds(1, t), pl.ds(H, y), :] = r
+        out_copy(idx, cur).start()
+
+        @pl.when(idx == nb - 1)
+        def _():
+            out_copy(idx, cur).wait()
+
+            @pl.when(idx >= 1)
+            def _():
+                out_copy(idx - 1, nxt).wait()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_t", "block_y", "interpret")
+)
+def fused_residual(
+    x: jax.Array,
+    b: jax.Array,
+    diag: jax.Array,
+    ew0: jax.Array,
+    ew1: jax.Array,
+    ew2: jax.Array,
+    block_t: int = 16,
+    block_y: int = 48,
+    interpret: bool = False,
+) -> jax.Array:
+    """r = b - A x via one double-buffered slab pass.
+
+    The residual is zero at non-solvable cells automatically (zero diag and
+    edge weights with fields zero outside the solvable set), matching
+    ops.stencil.residual's masking.
+    """
+    nx, ny, nz = x.shape
+    rx, ry = nx - 2 * H, ny - 2 * H
+    tb = _pick_tile(rx, block_t)
+    yb = _pick_tile(ry, block_y)
+    gy = ry // yb
+    nb = (rx // tb) * gy
+    sxh, syh = tb + 2, yb + 2 * H
+
+    kernel = _make_residual_kernel(tb, yb, gy, nb)
+    fdt = x.dtype
+    edt = ew0.dtype
+    slab = lambda dt: pltpu.VMEM((2, sxh, syh, nz), dt)  # noqa: E731
+    slab_bytes = sxh * syh * nz
+    per_cell = 3 * fdt.itemsize + 3 * edt.itemsize
+    vmem_bytes = 2 * per_cell * slab_bytes + 8 * 4 * slab_bytes + (4 << 20)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct(x.shape, fdt),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            slab(fdt), slab(fdt), slab(fdt), slab(edt), slab(edt), slab(edt),
+            pltpu.SemaphoreType.DMA((2, 6)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={6: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem_bytes, 120 << 20),
+        ),
+        interpret=interpret,
+    )(x, b, diag, ew0, ew1, ew2, jnp.zeros_like(x))
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_t", "block_y", "interpret")
 )

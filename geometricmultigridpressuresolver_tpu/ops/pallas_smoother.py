@@ -113,7 +113,8 @@ def _neighbor_shift(x, axis: int, up: bool):
 
 
 def _make_kernel(
-    schedule: tuple[str, ...], damping: float, t: int, y: int, gy: int, nb: int
+    schedule: tuple[str, ...], damping: float, t: int, y: int, gy: int,
+    nb: int, emit_dot: bool
 ):
     """Kernel factory; all geometry is static.
 
@@ -129,9 +130,12 @@ def _make_kernel(
 
     def kernel(
         x_hbm, b_hbm, id_hbm, e0_hbm, e1_hbm, e2_hbm, band_hbm, _zin_hbm,
-        out_hbm,
-        xs, bs, ids, e0s, e1s, e2s, bands, in_sem, out_sem,
+        out_hbm, *tail,
     ):
+        if emit_dot:
+            dot_smem, xs, bs, ids, e0s, e1s, e2s, bands, in_sem, out_sem, acc = tail
+        else:
+            xs, bs, ids, e0s, e1s, e2s, bands, in_sem, out_sem = tail
         idx = pl.program_id(0)
         cur = jax.lax.rem(idx, jnp.int32(2))
         nxt = jax.lax.rem(idx + jnp.int32(1), jnp.int32(2))
@@ -162,6 +166,8 @@ def _make_kernel(
 
         @pl.when(idx == 0)
         def _():
+            if emit_dot:
+                acc[0, 0] = jnp.float32(0.0)
             for cp in in_copies(idx, cur):
                 cp.start()
 
@@ -213,6 +219,16 @@ def _make_kernel(
                 mask = red if kind == "r" else jnp.logical_not(red)
                 x = jnp.where(mask, upd, x)
 
+        if emit_dot:
+            # <x_out, b> partials over the central region, accumulated in a
+            # fixed (sequential) order: fuses the CG rho = <r, z> reduction
+            # into the preconditioner's final smoother pass (z := x_out,
+            # r := this level's rhs).
+            acc[0, 0] = acc[0, 0] + jnp.sum(
+                x[H : H + t, H : H + y, :] * b[H : H + t, H : H + y, :],
+                dtype=jnp.float32,
+            )
+
         xs[cur] = x
         out_copy(idx, cur).start()
 
@@ -225,12 +241,15 @@ def _make_kernel(
             def _():
                 out_copy(idx - 1, nxt).wait()
 
+            if emit_dot:
+                dot_smem[0, 0] = acc[0, 0]
+
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("schedule", "damping", "block_t", "block_y", "interpret"),
+    static_argnames=("schedule", "damping", "block_t", "block_y", "interpret", "emit_dot"),
 )
 def fused_smooth(
     x: jax.Array,
@@ -245,8 +264,11 @@ def fused_smooth(
     block_t: int = 8,
     block_y: int = 64,
     interpret: bool = False,
-) -> jax.Array:
-    """Apply the fused pass stack; returns the updated solution grid.
+    emit_dot: bool = False,
+):
+    """Apply the fused pass stack; returns the updated solution grid (and,
+    with `emit_dot`, the scalar <x_out, b> -- the CG rho when this is the
+    preconditioner's final fine-level pass).
 
     Preconditions (checked by `eligible`): dims 0/1 tile into (block_t, Y)
     slabs after removing the H-cell shells, no solvable cells in those
@@ -260,7 +282,7 @@ def fused_smooth(
     nb = gx * gy
     sx, sy = tb + 2 * H, yb + 2 * H
 
-    kernel = _make_kernel(schedule, damping, tb, yb, gy, nb)
+    kernel = _make_kernel(schedule, damping, tb, yb, gy, nb, emit_dot)
     fdt = x.dtype
     edt = ew0.dtype  # possibly narrower (config.mg_ew_dtype)
     slab = lambda dt: pltpu.VMEM((2, sx, sy, nz), dt)  # noqa: E731
@@ -272,18 +294,26 @@ def fused_smooth(
     per_cell = 3 * fdt.itemsize + 3 * edt.itemsize + 1
     vmem_bytes = 2 * per_cell * slab_bytes + 8 * 4 * slab_bytes + (4 << 20)
 
+    out_shape = jax.ShapeDtypeStruct(x.shape, fdt)
+    out_specs = pl.BlockSpec(memory_space=pl.ANY)
+    scratch = [
+        slab(fdt), slab(fdt), slab(fdt), slab(edt), slab(edt), slab(edt),
+        pltpu.VMEM((2, sx, sy, nz), jnp.int8),
+        pltpu.SemaphoreType.DMA((2, 7)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if emit_dot:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        out_specs = (out_specs, pl.BlockSpec(memory_space=pltpu.SMEM))
+        scratch = scratch + [pltpu.SMEM((1, 1), jnp.float32)]
+
     return pl.pallas_call(
         kernel,
         grid=(nb,),
-        out_shape=jax.ShapeDtypeStruct(x.shape, fdt),
+        out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 8,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            slab(fdt), slab(fdt), slab(fdt), slab(edt), slab(edt), slab(edt),
-            pltpu.VMEM((2, sx, sy, nz), jnp.int8),
-            pltpu.SemaphoreType.DMA((2, 7)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
         input_output_aliases={7: 0},  # zero-filled shells
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(vmem_bytes, 120 << 20),
@@ -292,20 +322,29 @@ def fused_smooth(
     )(x, b, inv_diag, ew0, ew1, ew2, band_i8, zin)
 
 
-def smooth_level_pallas(x, b, coeffs, config, forward: bool, interpret=False):
+def smooth_level_pallas(
+    x, b, coeffs, config, forward: bool, interpret=False, emit_dot=False
+):
     """Drop-in replacement for solver.mg._smooth_level via fused kernels.
 
     Splits the schedule into <= H-pass chunks (one kernel launch each; the
-    default 3/GS/3 block is exactly 8 passes = one launch).
+    default 3/GS/3 block is exactly 8 passes = one launch).  With
+    `emit_dot`, also returns <x_out, b> from the final chunk.
     """
     schedule = schedule_for(config, forward)
     band_i8 = coeffs.band.astype(jnp.int8)
-    for start in range(0, len(schedule), H):
+    starts = list(range(0, len(schedule), H))
+    dot = None
+    for start in starts:
         chunk = schedule[start : start + H]
-        x = fused_smooth(
+        last = start == starts[-1]
+        out = fused_smooth(
             x, b, coeffs.inv_diag, coeffs.ew0, coeffs.ew1, coeffs.ew2,
             band_i8, chunk, config.jacobi_damping,
             block_t=config.pallas_block_t, block_y=config.pallas_block_y,
-            interpret=interpret,
+            interpret=interpret, emit_dot=emit_dot and last,
         )
+        x, dot = out if (emit_dot and last) else (out, dot)
+    if emit_dot:
+        return x, dot.reshape(())
     return x

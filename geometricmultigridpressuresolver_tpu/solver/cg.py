@@ -107,6 +107,7 @@ def solve_pcg_fused(
     tolerance: float = 1e-5,
     max_iterations: int = 2500,
     project_null_space: bool = False,
+    preconditioner_dot: Callable[[jax.Array], tuple] | None = None,
 ) -> CGResult:
     """PCG with a fused search-direction/mat-vec/dot step.
 
@@ -115,7 +116,16 @@ def solve_pcg_fused(
     iteration sequence is algebraically identical to `solve_pcg`: the same
     updates run in the same order, only the carry is rotated so the
     search-direction update opens the body instead of closing it.
+    `preconditioner_dot(r) -> (z, <r, z>)` optionally fuses the rho
+    reduction into the preconditioner (ignored under null-space projection,
+    which must project z before the dot).
     """
+    if project_null_space:
+        preconditioner_dot = None
+    if preconditioner_dot is None:
+        def preconditioner_dot(r):
+            z = apply_preconditioner(r)
+            return z, blas.dot(r, z, solvable)
     dtype = b.dtype
     x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
 
@@ -127,8 +137,9 @@ def solve_pcg_fused(
     threshold = dtype.type(tolerance) ** 2 * b_norm2
 
     r = project(jnp.where(solvable, b - apply_a(x), jnp.zeros_like(b)))
-    z = project(apply_preconditioner(r))
-    rho0 = blas.dot(r, z, solvable)
+    z, rho0 = preconditioner_dot(r)
+    z = project(z)
+    rho0 = rho0.reshape(()).astype(dtype)
     rr0 = blas.squared_l2_norm(r, solvable)
 
     class _FState(NamedTuple):
@@ -150,8 +161,9 @@ def solve_pcg_fused(
         alpha = s.rho / jnp.where(pap == 0, jnp.ones_like(pap), pap)
         x = s.x + alpha * p
         r = project(jnp.where(solvable, s.r - alpha * ap, s.r))
-        z = project(apply_preconditioner(r))
-        rho_new = blas.dot(r, z, solvable)
+        z, rho_new = preconditioner_dot(r)
+        z = project(z)
+        rho_new = rho_new.reshape(()).astype(dtype)
         beta = rho_new / jnp.where(s.rho == 0, jnp.ones_like(s.rho), s.rho)
         rr = blas.squared_l2_norm(r, solvable)
         return _FState(x, r, z, p, rho_new, beta, rr, s.iteration + 1)

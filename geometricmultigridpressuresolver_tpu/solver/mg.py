@@ -153,18 +153,29 @@ def build_hierarchy(
             f"coarsest level has {ndof} DOFs; increase mg levels "
             "(dense coarse solve would be too large)"
         )
-    if ndof > 0:
-        minv = np.linalg.inv(a.toarray())
+    if ndof == 0:
+        minv = jnp.zeros((0, 0), dtype=dtype)
+    else:
+        try:
+            on_accel = jax.devices()[0].platform in ("tpu", "gpu")
+        except RuntimeError:
+            on_accel = False
+        if on_accel and dtype == jnp.float32:
+            # Invert on-device: ~2/3 n^3 FLOPs is seconds of host numpy at
+            # a few thousand DOFs but milliseconds on the MXU, and setup
+            # reruns per frame when the liquid topology changes.
+            a_dense = jnp.asarray(a.toarray(), dtype=jnp.float32)
+            minv = jnp.linalg.inv(a_dense)
+        else:
+            minv = jnp.asarray(np.linalg.inv(a.toarray()), dtype=dtype)
         # Symmetrize against roundoff so the preconditioner stays exactly SPD.
         minv = 0.5 * (minv + minv.T)
-    else:
-        minv = np.zeros((0, 0))
     dofs = np.flatnonzero(np.asarray(idx).ravel() >= 0).astype(np.int32)
 
     return MGHierarchy(
         levels=tuple(levels),
         coarse_dofs=jnp.asarray(dofs),
-        coarse_minv=jnp.asarray(minv, dtype=dtype),
+        coarse_minv=minv.astype(dtype),
     )
 
 
@@ -188,18 +199,23 @@ def _smooth_level(
     config: SolverConfig,
     forward: bool,
     use_pallas: bool = False,
-) -> jax.Array:
+    emit_dot: bool = False,
+):
     """boundary^k ; interior ; boundary^k smoothing block.
 
     Reference applyVCycle per-level schedule
     (Source/HDK_GeometricMultigridPoissonSolver.cpp:445-513 and 715-783).
     With `use_pallas` the whole pass stack runs as one fused TPU kernel
     (ops.pallas_smoother) -- bit-equivalent schedule, ~4x less HBM traffic.
+    With `emit_dot`, returns (x, <x, b>) (the CG rho fusion; jnp fallback
+    computes the dot separately).
     """
     if use_pallas:
         from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
 
-        return pallas_smoother.smooth_level_pallas(x, b, c, config, forward)
+        return pallas_smoother.smooth_level_pallas(
+            x, b, c, config, forward, emit_dot=emit_dot
+        )
     for _ in range(config.boundary_iterations):
         x = stencil.boundary_jacobi(x, b, c, config.jacobi_damping)
     if config.use_gauss_seidel:
@@ -208,6 +224,10 @@ def _smooth_level(
         x = stencil.jacobi_smooth(x, b, c, config.jacobi_damping)
     for _ in range(config.boundary_iterations):
         x = stencil.boundary_jacobi(x, b, c, config.jacobi_damping)
+    if emit_dot:
+        from geometricmultigridpressuresolver_tpu.ops import blas
+
+        return x, blas.dot(x, b, c.solvable).astype(jnp.float32)
     return x
 
 
@@ -259,7 +279,8 @@ def v_cycle(
     b: jax.Array,
     config: SolverConfig = SolverConfig(),
     use_initial_guess: bool = False,
-) -> jax.Array:
+    emit_fine_dot: bool = False,
+):
     """One V(1,1) multigrid cycle; returns the updated solution grid.
 
     Pure and jittable; `config` / `use_initial_guess` are trace-time
@@ -282,7 +303,8 @@ def v_cycle(
     if nlev == 1:
         # Single-level cycle is smoothing-only (reference cpp:516-517).
         return _smooth_level(
-            x, b, hier.levels[0], config, forward=True, use_pallas=pallas_ok[0]
+            x, b, hier.levels[0], config, forward=True,
+            use_pallas=pallas_ok[0], emit_dot=emit_fine_dot,
         )
 
     # Downstroke.
@@ -295,7 +317,15 @@ def v_cycle(
             xl, rhs[level], c, config, forward=True, use_pallas=pallas_ok[level]
         )
         sols[level] = xl
-        r = stencil.residual(xl, rhs[level], c)
+        if pallas_ok[level]:
+            from geometricmultigridpressuresolver_tpu.ops import pallas_cg
+
+            r = pallas_cg.fused_residual(
+                xl, rhs[level], c.diag, c.ew0, c.ew1, c.ew2,
+                block_t=config.pallas_block_t, block_y=config.pallas_block_y,
+            )
+        else:
+            r = stencil.residual(xl, rhs[level], c)
         rhs[level + 1] = restrict(r, hier.levels[level + 1].solvable)
 
     # Coarsest level direct solve.
@@ -306,8 +336,14 @@ def v_cycle(
         c = hier.levels[level]
         xl = prolong_add(sols[level], sols[level + 1], c.solvable)
         xl = _smooth_level(
-            xl, rhs[level], c, config, forward=False, use_pallas=pallas_ok[level]
+            xl, rhs[level], c, config, forward=False,
+            use_pallas=pallas_ok[level],
+            emit_dot=emit_fine_dot and level == 0,
         )
         sols[level] = xl
 
+    if emit_fine_dot:
+        # sols[0] is (x, <x, b>): the preconditioner output and the CG
+        # rho = <r, z> (b IS the CG residual when used as preconditioner).
+        return sols[0]
     return sols[0]

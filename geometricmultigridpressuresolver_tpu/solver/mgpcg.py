@@ -97,6 +97,19 @@ def _solve(problem: PoissonProblem, rhs, x0, config: SolverConfig, has_x0: bool)
                 block_t=config.pallas_block_t, block_y=config.pallas_block_y,
             )
 
+        preconditioner_dot = None
+        if config.use_mg_preconditioner:
+            def preconditioner_dot(r):
+                z, rho = mg_mod.v_cycle(
+                    problem.hier,
+                    jnp.zeros_like(r, dtype=config.mg_dtype_resolved),
+                    r,
+                    config,
+                    use_initial_guess=False,
+                    emit_fine_dot=True,
+                )
+                return z.astype(solve_dtype), rho
+
         return cg_mod.solve_pcg_fused(
             step_p,
             apply_a,
@@ -107,6 +120,7 @@ def _solve(problem: PoissonProblem, rhs, x0, config: SolverConfig, has_x0: bool)
             tolerance=config.tolerance,
             max_iterations=config.max_iterations,
             project_null_space=config.project_null_space,
+            preconditioner_dot=preconditioner_dot,
         )
 
     return cg_mod.solve_pcg(

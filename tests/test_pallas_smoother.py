@@ -95,3 +95,32 @@ def test_fused_cg_step_matches_jnp(fixture32):
     np.testing.assert_allclose(np.asarray(pn), np.asarray(p_ref), atol=2e-6)
     np.testing.assert_allclose(np.asarray(ap), np.asarray(ap_ref), atol=2e-5)
     np.testing.assert_allclose(float(pap[0, 0]), pap_ref, rtol=1e-5)
+
+
+def test_emit_dot_matches_blas(fixture32):
+    """The smoother's fused <x_out, b> equals the separate reduction."""
+    from geometricmultigridpressuresolver_tpu.ops import blas
+
+    hier, c, x, b = fixture32
+    config = SolverConfig(solve_dtype=jnp.float32)
+    x1, dot = pallas_smoother.smooth_level_pallas(
+        x, b, c, config, forward=True, interpret=True, emit_dot=True
+    )
+    x2 = pallas_smoother.smooth_level_pallas(
+        x, b, c, config, forward=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-6)
+    ref = float(blas.dot(x2, b, c.solvable))
+    np.testing.assert_allclose(float(dot), ref, rtol=1e-5)
+
+
+def test_fused_residual_matches_jnp(fixture32):
+    """ops.pallas_cg.fused_residual: r = b - A x in one slab pass."""
+    from geometricmultigridpressuresolver_tpu.ops import pallas_cg, stencil
+
+    hier, c, x, b = fixture32
+    ref = stencil.residual(x, b, c)
+    got = pallas_cg.fused_residual(
+        x, b, c.diag, c.ew0, c.ew1, c.ew2, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

@@ -85,3 +85,26 @@ def test_sharded_projection_matches_single_device(eight_device_mesh):
             rtol=0, atol=1e-11,
         )
     assert float(dist.max_divergence) < 1e-6
+
+
+def test_sharded_solve_lowers_to_collectives(eight_device_mesh):
+    """The block-partitioned solve must compile to a program containing
+    halo exchanges (collective-permute) and cross-device reductions
+    (all-reduce) -- the ppermute/psum structure SURVEY.md sections 2.10-2.11
+    prescribe for the 7-point stencil and the CG dot products."""
+    mesh = eight_device_mesh
+    labels, weights, mg_levels = helpers.expanded_domain(helpers.simple_domain, 16)
+    config = SolverConfig(tolerance=1e-8)
+    problem = shard_problem_for_test(
+        mgpcg.build_problem(labels, weights, mg_levels, config), mesh
+    )
+    rhs = shard_grid(jnp.asarray(helpers.random_solvable_field(labels, seed=3)), mesh)
+
+    hlo = (
+        jax.jit(lambda p, r: mgpcg.solve(p, r, config=config))
+        .lower(problem, rhs)
+        .compile()
+        .as_text()
+    )
+    assert "collective-permute" in hlo or "all-to-all" in hlo, "no halo exchange"
+    assert "all-reduce" in hlo, "no cross-device reduction"
