@@ -260,9 +260,11 @@ def vcycle_stage_times(
     """
     nlev = hier.num_levels
     dtype = hier.levels[0].diag.dtype
+    pallas_ok = mg_mod._pallas_level_flags(hier, config)
 
     smooth = jax.jit(
-        mg_mod._smooth_level, static_argnames=("config", "forward")
+        mg_mod._smooth_level,
+        static_argnames=("config", "forward", "use_pallas"),
     )
 
     @jax.jit
@@ -282,7 +284,10 @@ def vcycle_stage_times(
             c = hier.levels[level]
             xl = jnp.zeros(c.shape, dtype=dtype)
             with timer.stage(f"L{level} smooth (down)"):
-                xl = timer.sync(smooth(xl, rhs[level], c, config=config, forward=True))
+                xl = timer.sync(
+                    smooth(xl, rhs[level], c, config=config, forward=True,
+                           use_pallas=pallas_ok[level])
+                )
             sols[level] = xl
             with timer.stage(f"L{level} residual+restrict"):
                 rhs[level + 1] = timer.sync(
@@ -298,7 +303,8 @@ def vcycle_stage_times(
                 )
             with timer.stage(f"L{level} smooth (up)"):
                 sols[level] = timer.sync(
-                    smooth(xl, rhs[level], c, config=config, forward=False)
+                    smooth(xl, rhs[level], c, config=config, forward=False,
+                           use_pallas=pallas_ok[level])
                 )
         if rep >= warmup:
             for name, s in timer.times.seconds.items():
