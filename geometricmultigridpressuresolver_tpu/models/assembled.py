@@ -126,3 +126,87 @@ def solve_assembled(
     if info != 0:
         raise RuntimeError(f"assembled CG did not converge: info={info}")
     return vec_to_grid(x, idx, labels.shape)
+
+
+def project_assembled(
+    liquid_phi,
+    cut_cell_weights: Sequence,
+    velocity: Sequence,
+    solid_phi=None,
+    solid_velocity: Sequence | None = None,
+    old_pressure=None,
+    tolerance: float = 1e-5,
+    max_iterations: int = 2500,
+    theta_clamp: float = 0.01,
+):
+    """Full baseline pressure projection: the classic assembled-matrix node.
+
+    Mirrors HDK_FreeSurfacePressureSolver::solveGasSubclass
+    (Source/HDK_FreeSurfacePressureSolver.cpp:107-481): the same material
+    labels, ghost-fluid weights, RHS, writeback, gradient update, and
+    divergence audit as the geometric node, but solved by
+    diagonal-preconditioned CG on a host-assembled sparse matrix.  This is
+    the reference's own performance baseline and this framework's
+    cross-implementation oracle for the whole pipeline.
+
+    Returns (pressure, projected_velocity, max_divergence).
+    """
+    import jax.numpy as jnp
+
+    from geometricmultigridpressuresolver_tpu.config import SolverConfig
+    from geometricmultigridpressuresolver_tpu.models import free_surface
+    from geometricmultigridpressuresolver_tpu.ops import domain as domain_ops
+
+    config = SolverConfig(
+        solve_dtype=jnp.float64,
+        tolerance=tolerance,
+        max_iterations=max_iterations,
+        theta_clamp=theta_clamp,
+        compact_domain=False,
+    )
+    liquid_phi = jnp.asarray(liquid_phi, dtype=jnp.float64)
+    weights = tuple(jnp.asarray(w, dtype=jnp.float64) for w in cut_cell_weights)
+    velocity = tuple(jnp.asarray(v, dtype=jnp.float64) for v in velocity)
+    if solid_velocity is not None:
+        solid_velocity = tuple(
+            jnp.asarray(v, dtype=jnp.float64) for v in solid_velocity
+        )
+
+    (material, valid, grad_scale, mg_labels, _, mg_weights, _) = (
+        free_surface._setup_base_fields(
+            liquid_phi, weights,
+            None if solid_phi is None else jnp.asarray(solid_phi, jnp.float64),
+            theta_clamp, jnp.float64, config.dirichlet_band,
+        )
+    )
+    from geometricmultigridpressuresolver_tpu.grids import MaterialLabel
+
+    liquid_mask = material == int(MaterialLabel.LIQUID)
+
+    # The baseline node solves on the raw grid (no multigrid expansion);
+    # relabel INTERIOR->BOUNDARY only matters for the MG path, so plain
+    # labels + weights assemble directly.
+    labels_np = np.asarray(mg_labels)
+    weights_np = [np.asarray(w) for w in mg_weights]
+    rhs = np.asarray(
+        free_surface.negative_divergence(
+            liquid_mask, velocity, weights, solid_velocity
+        )
+    )
+    x0 = None
+    if old_pressure is not None:
+        x0 = np.where(np.asarray(liquid_mask), np.asarray(old_pressure), 0.0)
+
+    pressure = solve_assembled(
+        labels_np, rhs, weights_np, tol=tolerance, x0_grid=x0,
+        max_iterations=max_iterations,
+    )
+    pressure = np.where(np.asarray(liquid_mask), pressure, 0.0)
+
+    new_velocity = free_surface.apply_pressure_gradient(
+        velocity, jnp.asarray(pressure), valid, grad_scale
+    )
+    max_div, _, _ = free_surface.divergence_stats(
+        liquid_mask, new_velocity, weights, solid_velocity
+    )
+    return pressure, tuple(np.asarray(v) for v in new_velocity), float(max_div)

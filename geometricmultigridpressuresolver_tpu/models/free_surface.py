@@ -278,6 +278,48 @@ def _jitted():
     return _setup_base_jit, _expand_compact_jit, _expand_classic_jit
 
 
+def validate_fields(
+    liquid_phi, cut_cell_weights, velocity=None, solid_phi=None
+) -> None:
+    """Shape validation with the reference node's error semantics.
+
+    HDK_GeometricFreeSurfacePressureSolver::solveGasSubclass rejects
+    missing/misaligned fields with explicit node errors
+    (Source/HDK_GeometricFreeSurfacePressureSolver.cpp:125-250): velocity
+    must be face-sampled, cut-cell weights must align with velocity, the
+    surface must align with the cell grid.
+    """
+    shape = tuple(liquid_phi.shape)
+    if len(shape) != 3:
+        raise ValueError(f"surface field must be a 3-D cell grid, got {shape}")
+    if len(cut_cell_weights) != 3:
+        raise ValueError("cut-cell weights must have one array per axis")
+    from geometricmultigridpressuresolver_tpu.grids import face_shape
+
+    for axis in range(3):
+        want = face_shape(shape, axis)
+        got = tuple(cut_cell_weights[axis].shape)
+        if got != want:
+            raise ValueError(
+                "cut-cell weights must align with the velocity field: axis "
+                f"{axis} expected {want}, got {got}"
+            )
+    if velocity is not None:
+        for axis in range(3):
+            want = face_shape(shape, axis)
+            got = tuple(velocity[axis].shape)
+            if got != want:
+                raise ValueError(
+                    f"velocity must be face sampled: axis {axis} expected "
+                    f"{want}, got {got}"
+                )
+    if solid_phi is not None and tuple(solid_phi.shape) != shape:
+        raise ValueError(
+            "collision surface must align with the liquid surface: expected "
+            f"{shape}, got {tuple(solid_phi.shape)}"
+        )
+
+
 def validate_density(density) -> float | None:
     """Constant-density validation, mirroring the reference node.
 
@@ -313,6 +355,7 @@ def build_setup(
     full-grid power-of-two expansion at a fraction of the cell count.
     """
     validate_density(density)
+    validate_fields(liquid_phi, cut_cell_weights, solid_phi=solid_phi)
     sd = config.solve_dtype
     liquid_phi = jnp.asarray(liquid_phi, dtype=sd)
     cut_cell_weights = tuple(jnp.asarray(w, dtype=sd) for w in cut_cell_weights)

@@ -190,3 +190,50 @@ def test_all_neumann_null_space_projection():
     r = jnp.where(solvable, rhs - stencil.apply_poisson(result.x, problem.fine), 0.0)
     rel = float(blas.l2_norm(r, solvable) / blas.l2_norm(rhs, solvable))
     assert rel < 1e-7
+
+
+def test_assembled_baseline_pipeline_matches_mgpcg():
+    """The classic assembled-matrix projection (the reference's baseline
+    node, Source/HDK_FreeSurfacePressureSolver.cpp:107-481) must agree with
+    the geometric MGPCG pipeline end-to-end."""
+    from geometricmultigridpressuresolver_tpu.models import assembled
+
+    n = 20
+    phi, velocity = sdf.splash_scene((n, n, n))
+    weights = sdf.open_box_weights((n, n, n))
+
+    config = SolverConfig(tolerance=1e-9, max_iterations=500)
+    setup = free_surface.build_setup(phi, weights, config=config)
+    mg = free_surface.project(setup, velocity, config=config)
+
+    p_base, v_base, max_div = assembled.project_assembled(
+        phi, weights, velocity, tolerance=1e-9, max_iterations=2000
+    )
+    assert max_div < 1e-6
+    scale = max(float(np.abs(np.asarray(mg.pressure)).max()), 1e-300)
+    diff = float(np.abs(np.asarray(mg.pressure) - p_base).max()) / scale
+    assert diff < 1e-5
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(mg.velocity[a]), v_base[a], atol=1e-6
+        )
+
+
+def test_field_validation_errors():
+    """Misaligned inputs get the reference node's explicit rejections."""
+    n = 8
+    phi, velocity = sdf.splash_scene((n, n, n))
+    weights = sdf.open_box_weights((n, n, n))
+
+    with pytest.raises(ValueError, match="cut-cell weights must align"):
+        free_surface.validate_fields(phi, [weights[0], weights[1], weights[1]])
+    with pytest.raises(ValueError, match="face sampled"):
+        free_surface.validate_fields(
+            phi, weights, velocity=(velocity[0], velocity[0], velocity[2])
+        )
+    with pytest.raises(ValueError, match="collision surface must align"):
+        free_surface.validate_fields(phi, weights, solid_phi=np.zeros((4, 4, 4)))
+    with pytest.raises(ValueError, match="3-D cell grid"):
+        free_surface.validate_fields(np.zeros((n, n)), weights)
+    # Aligned inputs pass.
+    free_surface.validate_fields(phi, weights, velocity=velocity)
