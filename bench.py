@@ -71,7 +71,7 @@ def main() -> None:
 
     velocity = tuple(jnp.asarray(v, dtype=jnp.float32) for v in velocity)
     rhs_base = free_surface.negative_divergence(setup.liquid_mask, velocity, setup.weights)
-    rhs = free_surface._embed(rhs_base, setup.expanded_shape, setup.offset, setup.base_bbox)
+    rhs = free_surface._embed(rhs_base, setup)
 
     # Warmup/compile.
     t0 = time.time()

@@ -43,9 +43,7 @@ def main():
     rhs_base = free_surface.negative_divergence(
         setup.liquid_mask, velocity, setup.weights
     )
-    rhs = free_surface._embed(
-        rhs_base, setup.expanded_shape, setup.offset, setup.base_bbox
-    )
+    rhs = free_surface._embed(rhs_base, setup)
 
     # Warm pass (compiles every stage), then the timed pass.
     instrumented_solve(setup.problem, rhs, config=config, print_stats=False)

@@ -41,9 +41,7 @@ def run(n: int, reps: int = 3, tol: float = 1e-5) -> dict:
     rhs_base = free_surface.negative_divergence(
         setup.liquid_mask, velocity, setup.weights
     )
-    rhs = free_surface._embed(
-        rhs_base, setup.expanded_shape, setup.offset, setup.base_bbox
-    )
+    rhs = free_surface._embed(rhs_base, setup)
     ndof = int(np.asarray(setup.problem.fine.solvable).sum())
 
     result = mgpcg.solve(setup.problem, rhs, config=config)

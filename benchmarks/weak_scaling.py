@@ -94,9 +94,7 @@ def main():
         rhs_base = free_surface.negative_divergence(
             setup.liquid_mask, velocity, setup.weights
         )
-        rhs = free_surface._embed(
-            rhs_base, setup.expanded_shape, setup.offset, setup.base_bbox
-        )
+        rhs = free_surface._embed(rhs_base, setup)
         result = mgpcg.solve(setup.problem, rhs, config=config)
         jax.block_until_ready(result.x)
         times = []

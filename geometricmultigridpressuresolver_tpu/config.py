@@ -93,6 +93,10 @@ class SolverConfig:
     # uses the transposed restriction matrix), "slice" is the shift-based
     # VPU path, "auto" picks mm on TPU.
     transfer_mode: str = "auto"
+    # Extra window headroom (units of the exterior padding) so a growing
+    # liquid bbox keeps fitting the previous frame's window shape; see
+    # free_surface.build_setup(reuse_from=...).
+    window_slack: int = 1
 
     @property
     def mg_dtype_resolved(self):

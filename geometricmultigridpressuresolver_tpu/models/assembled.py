@@ -121,7 +121,11 @@ def solve_assembled(
     a, idx = assemble_poisson(labels, face_weights)
     b = grid_to_vec(np.asarray(rhs_grid, dtype=np.float64), idx)
     x0 = None if x0_grid is None else grid_to_vec(np.asarray(x0_grid, np.float64), idx)
-    m = scipy.sparse.diags(1.0 / a.diagonal())
+    d = a.diagonal()
+    # Degenerate rows (a liquid cell whose every interior face is closed)
+    # have a zero diagonal; guard the Jacobi preconditioner so they do not
+    # poison the solve with infs.
+    m = scipy.sparse.diags(np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 1.0))
     x, info = scipy.sparse.linalg.cg(a, b, x0=x0, rtol=tol, maxiter=max_iterations, M=m)
     if info != 0:
         raise RuntimeError(f"assembled CG did not converge: info={info}")
@@ -151,32 +155,29 @@ def project_assembled(
 
     Returns (pressure, projected_velocity, max_divergence).
     """
+    import jax
     import jax.numpy as jnp
 
-    from geometricmultigridpressuresolver_tpu.config import SolverConfig
     from geometricmultigridpressuresolver_tpu.models import free_surface
-    from geometricmultigridpressuresolver_tpu.ops import domain as domain_ops
 
-    config = SolverConfig(
-        solve_dtype=jnp.float64,
-        tolerance=tolerance,
-        max_iterations=max_iterations,
-        theta_clamp=theta_clamp,
-        compact_domain=False,
+    free_surface.validate_fields(
+        liquid_phi, cut_cell_weights, velocity=velocity, solid_phi=solid_phi
     )
-    liquid_phi = jnp.asarray(liquid_phi, dtype=jnp.float64)
-    weights = tuple(jnp.asarray(w, dtype=jnp.float64) for w in cut_cell_weights)
-    velocity = tuple(jnp.asarray(v, dtype=jnp.float64) for v in velocity)
+    # The setup math runs on-device in the widest available float: float64
+    # needs jax_enable_x64 (tests enable it); without it the fields are
+    # float32 while the assembled solve itself always runs in host float64.
+    dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    liquid_phi = jnp.asarray(liquid_phi, dtype=dt)
+    weights = tuple(jnp.asarray(w, dtype=dt) for w in cut_cell_weights)
+    velocity = tuple(jnp.asarray(v, dtype=dt) for v in velocity)
     if solid_velocity is not None:
-        solid_velocity = tuple(
-            jnp.asarray(v, dtype=jnp.float64) for v in solid_velocity
-        )
+        solid_velocity = tuple(jnp.asarray(v, dtype=dt) for v in solid_velocity)
 
     (material, valid, grad_scale, mg_labels, _, mg_weights, _) = (
         free_surface._setup_base_fields(
             liquid_phi, weights,
-            None if solid_phi is None else jnp.asarray(solid_phi, jnp.float64),
-            theta_clamp, jnp.float64, config.dirichlet_band,
+            None if solid_phi is None else jnp.asarray(solid_phi, dt),
+            theta_clamp, dt, dirichlet_band=0, want_compact=False,
         )
     )
     from geometricmultigridpressuresolver_tpu.grids import MaterialLabel

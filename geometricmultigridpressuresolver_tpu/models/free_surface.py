@@ -27,6 +27,8 @@ the solve and the per-frame field updates are jittable JAX.
 
 from __future__ import annotations
 
+import functools
+
 from typing import NamedTuple, Sequence
 
 import jax
@@ -155,7 +157,15 @@ def classify_valid_faces(material, cut_cell_weights: Sequence) -> list:
 
 
 class ProjectionSetup(NamedTuple):
-    """Per-frame static data (device arrays + static geometry)."""
+    """Per-frame solver data: device arrays + static window geometry.
+
+    The multigrid domain is a WINDOW into the (exterior-padded) base grid:
+    ``expanded[j] = padded_base[window_start + j]``.  The window's start is
+    a traced device scalar vector while every shape is static, so frames
+    whose liquid moves (different bounding boxes) reuse the same compiled
+    programs as long as the window SHAPE is reused (see `build_setup`'s
+    `reuse_from`).
+    """
 
     problem: mgpcg.PoissonProblem
     material: jax.Array                  # int8 (base shape) material labels
@@ -163,9 +173,11 @@ class ProjectionSetup(NamedTuple):
     valid_faces: tuple[jax.Array, ...]   # bool face arrays, base shape
     weights: tuple[jax.Array, ...]       # cut-cell weights, base shape
     grad_scale: tuple[jax.Array, ...]    # 1/theta on liquid-air valid faces
-    offset: tuple[int, int, int]         # expanded-grid index of bbox start
+    window_start: jax.Array              # int32[3], window origin (padded base coords)
     expanded_shape: tuple[int, int, int]
-    base_bbox: tuple[tuple[int, int], ...]  # active bbox in base coords
+    base_pads: tuple[tuple[int, int], ...]  # static per-axis base padding
+    padding: int                         # multigrid exterior padding
+    mg_levels: int
 
 
 def _setup_base_fields(
@@ -175,6 +187,7 @@ def _setup_base_fields(
     theta_clamp: float,
     dtype,
     dirichlet_band: int,
+    want_compact: bool = True,
 ):
     """Steps 1-3 array work on the base grid: labels, valid faces, MG
     weights, far-field Dirichlet trimming, occupancy projections.
@@ -218,6 +231,11 @@ def _setup_base_fields(
         mg_weights.append(bw)
         grad_scale.append(scale)
 
+    if not want_compact:
+        # Callers on the classic/raw-grid path (assembled baseline) skip
+        # the trimming and occupancy reductions entirely.
+        return material, valid, grad_scale, mg_labels, None, mg_weights, None
+
     # Far-field Dirichlet trimming: identical linear system, much smaller
     # active bounding box (see domain.trim_far_dirichlet).
     trimmed = domain_ops.trim_far_dirichlet(mg_labels, dirichlet_band)
@@ -231,51 +249,48 @@ def _setup_base_fields(
     return material, valid, grad_scale, mg_labels, trimmed, mg_weights, projections
 
 
-def _expand_compact_fields(mg_labels, mg_weights, bbox, padding, expanded_shape):
-    """Step 4 (compact): crop to the active bbox, pad, relabel boundaries."""
+def _expand_window_fields(mg_labels, mg_weights, start, base_pads, expanded_shape):
+    """Step 4: slice the multigrid window out of the exterior-padded base.
+
+    `start` is TRACED (int32[3]); only shapes are static, so consecutive
+    frames with moving liquid share one compiled program.  Covers both the
+    compact bbox window and the reference-style full-grid expansion (where
+    the window is the whole padded grid, Source/HDK_GeometricMultigridOperators.h:1328-1456).
+    """
     from geometricmultigridpressuresolver_tpu.grids import face_shape
 
     xp = _xp(mg_labels)
-    labels = domain_ops.expand_domain_compact(mg_labels, bbox, padding, expanded_shape)
+    base = xp.where(mg_labels == int(CellLabel.BOUNDARY), int(CellLabel.INTERIOR),
+                    mg_labels).astype(np.int8)
+    lbl_p = xp.pad(base, base_pads, constant_values=int(CellLabel.EXTERIOR))
+    idx = (start[0], start[1], start[2])
+    labels = jax.lax.dynamic_slice(lbl_p, idx, expanded_shape)
     exp_weights = []
     for axis in range(3):
-        w = mg_weights[axis]
-        sl = [slice(bbox[a][0], bbox[a][1]) for a in range(3)]
-        sl[axis] = slice(bbox[axis][0], bbox[axis][1] + 1)
-        wc = w[tuple(sl)]
-        target = face_shape(expanded_shape, axis)
-        pad = [(padding, target[a] - padding - wc.shape[a]) for a in range(3)]
-        exp_weights.append(xp.pad(wc, pad, constant_values=0.0))
+        w_p = xp.pad(mg_weights[axis], base_pads, constant_values=0.0)
+        exp_weights.append(
+            jax.lax.dynamic_slice(w_p, idx, face_shape(expanded_shape, axis))
+        )
     labels = domain_ops.set_boundary_labels(labels, exp_weights)
     return labels, exp_weights
 
 
-def _expand_classic_fields(mg_labels, mg_weights):
-    """Step 4 (classic): reference-style power-of-two full-grid expansion."""
-    expanded, offset, _ = domain_ops.expand_domain(mg_labels)
-    exp_weights = domain_ops.expand_face_weights(mg_weights, expanded.shape, offset)
-    labels = domain_ops.set_boundary_labels(expanded, exp_weights)
-    return labels, exp_weights
-
-
 _setup_base_jit = None
-_expand_compact_jit = None
-_expand_classic_jit = None
+_expand_window_jit = None
 
 
 def _jitted():
-    global _setup_base_jit, _expand_compact_jit, _expand_classic_jit
+    global _setup_base_jit, _expand_window_jit
     if _setup_base_jit is None:
         _setup_base_jit = jax.jit(
             _setup_base_fields,
-            static_argnames=("theta_clamp", "dtype", "dirichlet_band"),
+            static_argnames=("theta_clamp", "dtype", "dirichlet_band", "want_compact"),
         )
-        _expand_compact_jit = jax.jit(
-            _expand_compact_fields,
-            static_argnames=("bbox", "padding", "expanded_shape"),
+        _expand_window_jit = jax.jit(
+            _expand_window_fields,
+            static_argnames=("base_pads", "expanded_shape"),
         )
-        _expand_classic_jit = jax.jit(_expand_classic_fields)
-    return _setup_base_jit, _expand_compact_jit, _expand_classic_jit
+    return _setup_base_jit, _expand_window_jit
 
 
 def validate_fields(
@@ -289,7 +304,7 @@ def validate_fields(
     must be face-sampled, cut-cell weights must align with velocity, the
     surface must align with the cell grid.
     """
-    shape = tuple(liquid_phi.shape)
+    shape = np.shape(liquid_phi)  # np.shape: duck-typed (lists included)
     if len(shape) != 3:
         raise ValueError(f"surface field must be a 3-D cell grid, got {shape}")
     if len(cut_cell_weights) != 3:
@@ -298,7 +313,7 @@ def validate_fields(
 
     for axis in range(3):
         want = face_shape(shape, axis)
-        got = tuple(cut_cell_weights[axis].shape)
+        got = np.shape(cut_cell_weights[axis])
         if got != want:
             raise ValueError(
                 "cut-cell weights must align with the velocity field: axis "
@@ -307,16 +322,16 @@ def validate_fields(
     if velocity is not None:
         for axis in range(3):
             want = face_shape(shape, axis)
-            got = tuple(velocity[axis].shape)
+            got = np.shape(velocity[axis])
             if got != want:
                 raise ValueError(
                     f"velocity must be face sampled: axis {axis} expected "
                     f"{want}, got {got}"
                 )
-    if solid_phi is not None and tuple(solid_phi.shape) != shape:
+    if solid_phi is not None and np.shape(solid_phi) != shape:
         raise ValueError(
             "collision surface must align with the liquid surface: expected "
-            f"{shape}, got {tuple(solid_phi.shape)}"
+            f"{shape}, got {np.shape(solid_phi)}"
         )
 
 
@@ -344,6 +359,7 @@ def build_setup(
     config: SolverConfig = SolverConfig(),
     validate: bool = False,
     density=None,
+    reuse_from: ProjectionSetup | None = None,
 ) -> ProjectionSetup:
     """Steps 1-4: labels, valid faces, MG domain + weights, expansion.
 
@@ -362,7 +378,7 @@ def build_setup(
     if solid_phi is not None:
         solid_phi = jnp.asarray(solid_phi, dtype=sd)
 
-    setup_base, expand_compact, expand_classic = _jitted()
+    setup_base, expand_window = _jitted()
     material, valid, grad_scale, mg_labels, trimmed, mg_weights, projections = (
         setup_base(
             liquid_phi,
@@ -374,6 +390,7 @@ def build_setup(
         )
     )
 
+    base_shape = tuple(liquid_phi.shape)
     if config.compact_domain:
         proj_host = [np.asarray(p) for p in projections[:3]]
         mg_levels, padding, bbox, expanded_shape = (
@@ -383,14 +400,59 @@ def build_setup(
                 coarse_dof_target=config.coarse_dof_target,
             )
         )
-        labels, exp_weights = expand_compact(
-            trimmed, mg_weights, bbox, padding, tuple(expanded_shape)
-        )
+        window_labels = trimmed
     else:
-        mg_levels, padding, _ = domain_ops.expansion_params(liquid_phi.shape)
-        bbox = tuple((0, s) for s in liquid_phi.shape)
-        labels, exp_weights = expand_classic(mg_labels, mg_weights)
-    offset = (padding, padding, padding)
+        mg_levels, padding, expanded_shape = domain_ops.expansion_params(base_shape)
+        bbox = tuple((0, n) for n in base_shape)
+        window_labels = mg_labels
+
+    # Sticky window shape: reuse the previous frame's (larger-or-equal)
+    # window so every downstream program -- expansion, hierarchy build, the
+    # whole solve -- keeps its compiled shape while the liquid moves.  The
+    # fit check uses the MINIMAL requirement; fresh allocations add
+    # `window_slack` padding quanta of headroom so near-future growth keeps
+    # fitting (lane alignment of the last axis is preserved).
+    if (
+        reuse_from is not None
+        and reuse_from.padding == padding
+        and reuse_from.mg_levels == mg_levels
+        and all(
+            pe >= ne for pe, ne in zip(reuse_from.expanded_shape, expanded_shape)
+        )
+    ):
+        expanded_shape = reuse_from.expanded_shape
+    elif reuse_from is not None and config.window_slack:
+        # Regrowth (the previous window no longer fits): add headroom on
+        # the first two axes so the next growth spurts keep fitting.  The
+        # lane axis already carries headroom from its 128-multiple
+        # rounding, and inflating it would jump a whole lane tile.  One-shot
+        # solves (reuse_from=None) keep exact minimal shapes.
+        expanded_shape = (
+            expanded_shape[0] + config.window_slack * padding,
+            expanded_shape[1] + config.window_slack * padding,
+            expanded_shape[2],
+        )
+
+    # Static per-axis base padding: at least `padding`, and enough that the
+    # window always fits (padded >= expanded per axis).
+    base_pads = tuple(
+        (padding, max(padding, e - b - padding))
+        for e, b in zip(expanded_shape, base_shape)
+    )
+    # Window origin in padded-base coords: leading exterior margin of at
+    # least `padding` in front of the active bbox, clamped to the slice
+    # bound (both margins stay >= padding; see the NamedTuple docstring).
+    start_host = [
+        min(lo, b + plo + phi - e)
+        for (lo, _), b, (plo, phi), e in zip(
+            bbox, base_shape, base_pads, expanded_shape
+        )
+    ]
+    window_start = jnp.asarray(start_host, dtype=jnp.int32)
+
+    labels, exp_weights = expand_window(
+        window_labels, mg_weights, window_start, base_pads, tuple(expanded_shape)
+    )
 
     if validate:
         labels_np = np.asarray(labels)
@@ -406,26 +468,49 @@ def build_setup(
         valid_faces=tuple(valid),
         weights=cut_cell_weights,
         grad_scale=tuple(grad_scale),
-        offset=offset,
+        window_start=window_start,
         expanded_shape=tuple(labels.shape),
-        base_bbox=bbox,
+        base_pads=base_pads,
+        padding=padding,
+        mg_levels=mg_levels,
     )
 
 
-def _embed(base: jax.Array, expanded_shape, offset, bbox) -> jax.Array:
-    """Copy base-grid values in the active bbox into the expanded grid."""
-    out = jnp.zeros(expanded_shape, dtype=base.dtype)
-    src = tuple(slice(lo, hi) for lo, hi in bbox)
-    dst = tuple(slice(o, o + hi - lo) for o, (lo, hi) in zip(offset, bbox))
-    return out.at[dst].set(base[src])
+def embed_window(base, window_start, base_pads, expanded_shape) -> jax.Array:
+    """Window a base-grid cell field into the expanded multigrid domain.
+
+    `window_start` is traced; `base_pads`/`expanded_shape` must be static
+    Python tuples (pass them explicitly under jit -- ProjectionSetup's
+    static fields are pytree leaves and would be traced)."""
+    padded = jnp.pad(base, base_pads)
+    idx = tuple(window_start[a] for a in range(3))
+    return jax.lax.dynamic_slice(padded, idx, expanded_shape)
 
 
-def _extract(expanded: jax.Array, base_shape, offset, bbox) -> jax.Array:
-    """Scatter the expanded grid's active bbox back onto the base grid."""
-    out = jnp.zeros(base_shape, dtype=expanded.dtype)
-    src = tuple(slice(o, o + hi - lo) for o, (lo, hi) in zip(offset, bbox))
-    dst = tuple(slice(lo, hi) for lo, hi in bbox)
-    return out.at[dst].set(expanded[src])
+def extract_window(expanded, window_start, base_pads, base_shape) -> jax.Array:
+    """Scatter an expanded-domain field back onto the base grid."""
+    padded_shape = tuple(
+        b + plo + phi for b, (plo, phi) in zip(base_shape, base_pads)
+    )
+    buf = jnp.zeros(padded_shape, dtype=expanded.dtype)
+    idx = tuple(window_start[a] for a in range(3))
+    buf = jax.lax.dynamic_update_slice(buf, expanded, idx)
+    sl = tuple(slice(plo, plo + b) for b, (plo, _) in zip(base_shape, base_pads))
+    return buf[sl]
+
+
+def _embed(base: jax.Array, setup: "ProjectionSetup") -> jax.Array:
+    """Eager-context convenience wrapper over `embed_window`."""
+    return embed_window(
+        base, setup.window_start, setup.base_pads, setup.expanded_shape
+    )
+
+
+def _extract(expanded: jax.Array, setup: "ProjectionSetup") -> jax.Array:
+    """Eager-context convenience wrapper over `extract_window`."""
+    return extract_window(
+        expanded, setup.window_start, setup.base_pads, setup.liquid_mask.shape
+    )
 
 
 def negative_divergence(
@@ -499,31 +584,45 @@ class ProjectionResult(NamedTuple):
     avg_divergence: jax.Array
 
 
-def project(
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "has_solid_vel", "has_x0", "base_pads", "expanded_shape"),
+)
+def _project_impl(
     setup: ProjectionSetup,
-    velocity: Sequence[jax.Array],
-    solid_velocity: Sequence[jax.Array] | None = None,
-    old_pressure: jax.Array | None = None,
-    config: SolverConfig = SolverConfig(),
-) -> ProjectionResult:
-    """Steps 5-9: RHS, warm start, MGPCG solve, writeback, audit."""
+    velocity,
+    solid_velocity,
+    old_pressure,
+    config: SolverConfig,
+    has_solid_vel: bool,
+    has_x0: bool,
+    base_pads,
+    expanded_shape,
+):
+    """The whole per-frame computation as ONE program: RHS, warm start,
+    MGPCG solve, writeback, audit.  (Eager per-op dispatch costs ~30 ms
+    each over a remote-compile tunnel; one fused program makes the frame
+    cost the solve cost.)  Static geometry is threaded explicitly because
+    ProjectionSetup's static fields are pytree leaves.
+    """
     sd = config.solve_dtype
-    velocity = tuple(jnp.asarray(v, dtype=sd) for v in velocity)
-    if solid_velocity is not None:
-        solid_velocity = tuple(jnp.asarray(v, dtype=sd) for v in solid_velocity)
+    solid_velocity = solid_velocity if has_solid_vel else None
 
-    rhs_base = negative_divergence(setup.liquid_mask, velocity, setup.weights, solid_velocity)
-    rhs = _embed(rhs_base, setup.expanded_shape, setup.offset, setup.base_bbox)
+    rhs_base = negative_divergence(
+        setup.liquid_mask, velocity, setup.weights, solid_velocity
+    )
+    rhs = embed_window(rhs_base, setup.window_start, base_pads, expanded_shape)
 
     x0 = None
-    if config.use_old_pressure and old_pressure is not None:
-        warm = jnp.where(setup.liquid_mask, jnp.asarray(old_pressure, dtype=sd), 0.0)
-        x0 = _embed(warm, setup.expanded_shape, setup.offset, setup.base_bbox)
+    if config.use_old_pressure and has_x0:
+        warm = jnp.where(setup.liquid_mask, old_pressure.astype(sd), 0.0)
+        x0 = embed_window(warm, setup.window_start, base_pads, expanded_shape)
 
-    cg_result = mgpcg.solve(setup.problem, rhs, x0=x0, config=config)
+    cg_result = mgpcg._solve(setup.problem, rhs, x0 if x0 is not None else rhs,
+                             config, x0 is not None)
 
-    pressure = _extract(
-        cg_result.x, setup.liquid_mask.shape, setup.offset, setup.base_bbox
+    pressure = extract_window(
+        cg_result.x, setup.window_start, base_pads, rhs_base.shape
     )
     pressure = jnp.where(setup.liquid_mask, pressure, jnp.zeros_like(pressure))
 
@@ -534,3 +633,31 @@ def project(
         setup.liquid_mask, new_velocity, setup.weights, solid_velocity
     )
     return ProjectionResult(pressure, new_velocity, cg_result, max_div, avg_div)
+
+
+def project(
+    setup: ProjectionSetup,
+    velocity: Sequence[jax.Array],
+    solid_velocity: Sequence[jax.Array] | None = None,
+    old_pressure: jax.Array | None = None,
+    config: SolverConfig = SolverConfig(),
+) -> ProjectionResult:
+    """Steps 5-9: RHS, warm start, MGPCG solve, writeback, audit."""
+    validate_fields(setup.liquid_mask, setup.weights, velocity=velocity)
+    sd = config.solve_dtype
+    velocity = tuple(jnp.asarray(v, dtype=sd) for v in velocity)
+    has_solid_vel = solid_velocity is not None
+    solid_velocity = (
+        tuple(jnp.asarray(v, dtype=sd) for v in solid_velocity)
+        if has_solid_vel
+        else velocity  # placeholder pytree (ignored when has_solid_vel=False)
+    )
+    has_x0 = config.use_old_pressure and old_pressure is not None
+    old_pressure = (
+        jnp.asarray(old_pressure, dtype=sd) if has_x0 else setup.liquid_mask
+    )
+
+    return _project_impl(
+        setup, velocity, solid_velocity, old_pressure, config,
+        has_solid_vel, has_x0, setup.base_pads, setup.expanded_shape,
+    )

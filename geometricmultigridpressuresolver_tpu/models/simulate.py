@@ -17,6 +17,7 @@ Source/HDK_GeometricFreeSurfacePressureSolver.cpp:408-418, 945-997).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Sequence
 
 import jax
@@ -56,6 +57,7 @@ def _index_grid(shape, axis: int | None):
     return jnp.meshgrid(*coords, indexing="ij")
 
 
+@functools.partial(jax.jit, static_argnames=("dt", "dx"))
 def advect_scalar(field: jax.Array, velocity, dt: float, dx: float) -> jax.Array:
     """Semi-Lagrangian advection of a cell-centered field."""
     vc = _cell_center_velocity(velocity)
@@ -64,6 +66,7 @@ def advect_scalar(field: jax.Array, velocity, dt: float, dx: float) -> jax.Array
     return _sample(field, back)
 
 
+@functools.partial(jax.jit, static_argnames=("dt", "dx"))
 def advect_velocity(velocity, dt: float, dx: float) -> tuple:
     """Semi-Lagrangian advection of each MAC component."""
     vc_cell = _cell_center_velocity(velocity)
@@ -88,6 +91,7 @@ class FrameResult(NamedTuple):
     iterations: int
     relative_residual: float
     max_divergence: float
+    setup: free_surface.ProjectionSetup  # pass as next frame's reuse_setup
 
 
 def step(
@@ -99,8 +103,16 @@ def step(
     old_pressure: jax.Array | None = None,
     solid_phi: jax.Array | None = None,
     config: SolverConfig = SolverConfig(),
+    reuse_setup: free_surface.ProjectionSetup | None = None,
 ) -> FrameResult:
-    """One frame: advect, apply gravity, rebuild setup, project."""
+    """One frame: advect, apply gravity, rebuild setup, project.
+
+    `reuse_setup` (the previous frame's setup) keeps the multigrid window
+    SHAPE sticky across frames, so the whole frame reuses compiled
+    programs while the liquid moves -- without it, every bounding-box
+    change recompiles the solve (~30-80 s/frame at 128^3 over a remote
+    compiler vs <1 s warm).
+    """
     dx = 1.0 / max(liquid_phi.shape)
     velocity = tuple(jnp.asarray(v, dtype=config.solve_dtype) for v in velocity)
     liquid_phi = jnp.asarray(liquid_phi, dtype=config.solve_dtype)
@@ -110,7 +122,8 @@ def step(
     new_vel[1] = new_vel[1] + config.solve_dtype(gravity * dt)
 
     setup = free_surface.build_setup(
-        new_phi, cut_cell_weights, solid_phi=solid_phi, config=config
+        new_phi, cut_cell_weights, solid_phi=solid_phi, config=config,
+        reuse_from=reuse_setup,
     )
     result = free_surface.project(
         setup, tuple(new_vel), old_pressure=old_pressure, config=config
@@ -122,6 +135,7 @@ def step(
         iterations=int(result.cg.iterations),
         relative_residual=float(result.cg.relative_residual),
         max_divergence=float(result.max_divergence),
+        setup=setup,
     )
 
 
@@ -140,11 +154,14 @@ def run(
     pressure; returns per-frame results (the flipSplash loop)."""
     frames = []
     pressure = None
+    setup = None
     for k in range(num_frames):
         fr = step(
             liquid_phi, velocity, cut_cell_weights, dt, gravity,
             old_pressure=pressure, solid_phi=solid_phi, config=config,
+            reuse_setup=setup,
         )
+        setup = fr.setup
         frames.append(fr)
         liquid_phi, velocity, pressure = fr.liquid_phi, fr.velocity, fr.pressure
         if on_frame is not None:

@@ -156,6 +156,7 @@ def compact_expansion_params(
     non_ext_count: int | None = None,
     coarse_dof_target: int = 3000,
     align_lanes: bool = True,
+    slack: int = 0,
 ) -> tuple[int, int, tuple[tuple[int, int], ...], tuple[int, int, int]]:
     """Compact-domain geometry from per-axis occupancy projections.
 
@@ -198,8 +199,12 @@ def compact_expansion_params(
                 break
 
     padding = 2 ** (mg_levels - 1)
+    # `slack` adds headroom (in units of `padding`) so a slightly-grown
+    # liquid bounding box next frame still fits the same window shape --
+    # compiled-program reuse across frames (see free_surface.build_setup).
     expanded = [
-        ((e + 2 * padding + padding - 1) // padding) * padding for e in extents
+        ((e + (2 + slack) * padding + padding - 1) // padding) * padding
+        for e in extents
     ]
     # TPU lane alignment: pad the last axis to a multiple of 128 for large
     # grids.  fp32 arrays are physically tiled (8, 128) in HBM, so the tail

@@ -74,7 +74,9 @@ def shard_setup(
         valid_faces=tuple(shard_grid(v, mesh, min_per_device) for v in setup.valid_faces),
         weights=tuple(shard_grid(w, mesh, min_per_device) for w in setup.weights),
         grad_scale=tuple(shard_grid(g, mesh, min_per_device) for g in setup.grad_scale),
-        offset=setup.offset,
+        window_start=_put(setup.window_start, mesh, PartitionSpec()),
         expanded_shape=setup.expanded_shape,
-        base_bbox=setup.base_bbox,
+        base_pads=setup.base_pads,
+        padding=setup.padding,
+        mg_levels=setup.mg_levels,
     )

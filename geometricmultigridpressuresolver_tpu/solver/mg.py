@@ -84,6 +84,18 @@ def _device_level(labels, face_weights, boundary_width: int, dtype, ew_dtype=Non
     return coeffs, coarse, has_dofs
 
 
+@functools.partial(jax.jit, static_argnames=("nd_pad",))
+def _densify_invert(rows, cols, vals, ndof, nd_pad: int):
+    """Scatter COO triplets into a dense (nd_pad, nd_pad) matrix with an
+    identity pad block, invert on-device, and symmetrize."""
+    a = jnp.zeros((nd_pad, nd_pad), dtype=jnp.float32)
+    a = a.at[rows, cols].add(vals)
+    i = jnp.arange(nd_pad)
+    a = a + jnp.where(i >= ndof, 1.0, 0.0) * jnp.eye(nd_pad, dtype=jnp.float32)
+    minv = jnp.linalg.inv(a)
+    return 0.5 * (minv + minv.T)
+
+
 def build_hierarchy(
     labels,
     face_weights: Sequence | None,
@@ -112,8 +124,12 @@ def build_hierarchy(
         else tuple(jnp.asarray(w, dtype=dtype) for w in face_weights)
     )
 
+    # Build every level without host synchronization (each bool(has_dofs)
+    # round trip costs real latency on remote devices); ONE device_get at
+    # the end fetches the capping flags plus the coarsest labels.
     label_levels = [cur]
     levels = []
+    flags = []
     for i in range(target_levels):
         fw_i = fw if i == 0 else None
         # The compact domain only guarantees even extents down to the
@@ -130,22 +146,33 @@ def build_hierarchy(
             cur, fw_i, config.boundary_width, dtype, ew_dtype
         )
         levels.append(coeffs)
-        if not bool(has_dofs):
-            break
+        flags.append(has_dofs)
         cur = coarse
         label_levels.append(cur)
 
+    # One round trip: the capping flags plus the (tiny) coarsest labels.
+    # Device->host bandwidth is precious on remote/tunneled devices, so the
+    # full label stack is only fetched under `validate`.
+    flags_host, coarsest = jax.device_get((flags, label_levels[-1]))
+    # Cap the hierarchy at the first coarse level with no DOFs (reference
+    # MGPoissonSolver.cpp:243-248).
+    for i, ok in enumerate(flags_host):
+        if not bool(ok):
+            levels = levels[: i + 1]
+            label_levels = label_levels[: i + 1]
+            coarsest = jax.device_get(label_levels[-1])
+            break
+
     if validate:
-        host_levels = [np.asarray(lv) for lv in label_levels]
+        label_host = jax.device_get(label_levels)
         host_fw = None if fw is None else [np.asarray(w) for w in fw]
-        assert domain_ops.check_exterior_shell(host_levels[0])
-        assert domain_ops.check_boundary_cells(host_levels[0], host_fw)
-        for fine, coarse_lv in zip(host_levels, host_levels[1:]):
+        assert domain_ops.check_exterior_shell(label_host[0])
+        assert domain_ops.check_boundary_cells(label_host[0], host_fw)
+        for fine, coarse_lv in zip(label_host, label_host[1:]):
             assert domain_ops.check_coarsening(fine, coarse_lv)
             assert domain_ops.check_boundary_cells(coarse_lv, None)
 
     # Coarsest-level direct solver: dense inverse over DOFs (host; tiny).
-    coarsest = np.asarray(label_levels[-1])
     a, idx = assembled.assemble_poisson(coarsest, None)
     ndof = a.shape[0]
     if ndof > 16384:
@@ -153,24 +180,51 @@ def build_hierarchy(
             f"coarsest level has {ndof} DOFs; increase mg levels "
             "(dense coarse solve would be too large)"
         )
+    # The DOF count is bucketed (rounded up with zero-padded inverse rows
+    # and out-of-range scatter indices) so per-frame liquid motion does not
+    # change the coarse system's SHAPE -- shape changes would recompile the
+    # entire fused solve program (see free_surface.build_setup's sticky
+    # windows).
+    nd_pad = max(256, -(-ndof // 256) * 256) if ndof else 0
     if ndof == 0:
         minv = jnp.zeros((0, 0), dtype=dtype)
     else:
+        # Pad to the bucket with an identity block BEFORE inverting:
+        # block_diag(A, I)^-1 = block_diag(A^-1, I), and the fixed bucketed
+        # shape keeps the device inversion's compiled program stable across
+        # frames with drifting DOF counts.
         try:
             on_accel = jax.devices()[0].platform in ("tpu", "gpu")
         except RuntimeError:
             on_accel = False
         if on_accel and dtype == jnp.float32:
-            # Invert on-device: ~2/3 n^3 FLOPs is seconds of host numpy at
-            # a few thousand DOFs but milliseconds on the MXU, and setup
-            # reruns per frame when the liquid topology changes.
-            a_dense = jnp.asarray(a.toarray(), dtype=jnp.float32)
-            minv = jnp.linalg.inv(a_dense)
+            # Densify + invert ON DEVICE from the sparse triplets: the
+            # dense padded matrix is tens of MB (expensive to ship over a
+            # tunneled host->device link every frame) while the triplets
+            # are ~KB.  The nnz count is bucketed like the DOF count so
+            # the program stays compiled across frames.
+            coo = a.tocoo()
+            nnz_pad = -(-coo.nnz // 4096) * 4096
+            rows = np.zeros(nnz_pad, np.int32)
+            cols = np.zeros(nnz_pad, np.int32)
+            vals = np.zeros(nnz_pad, np.float32)
+            rows[: coo.nnz] = coo.row
+            cols[: coo.nnz] = coo.col
+            vals[: coo.nnz] = coo.data  # padded entries add 0 at (0, 0)
+            minv = _densify_invert(
+                jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+                jnp.int32(ndof), nd_pad,
+            )
         else:
-            minv = jnp.asarray(np.linalg.inv(a.toarray()), dtype=dtype)
-        # Symmetrize against roundoff so the preconditioner stays exactly SPD.
-        minv = 0.5 * (minv + minv.T)
+            a_pad = np.eye(nd_pad)
+            a_pad[:ndof, :ndof] = a.toarray()
+            minv = jnp.asarray(np.linalg.inv(a_pad), dtype=dtype)
+            # Symmetrize so the preconditioner stays exactly SPD.
+            minv = 0.5 * (minv + minv.T)
     dofs = np.flatnonzero(np.asarray(idx).ravel() >= 0).astype(np.int32)
+    # Pad indices point one past the grid; gathers clip (zero minv columns
+    # neutralize the garbage) and scatters drop them.
+    dofs = np.pad(dofs, (0, nd_pad - ndof), constant_values=idx.size)
 
     return MGHierarchy(
         levels=tuple(levels),
@@ -186,9 +240,14 @@ def coarse_solve(hier: MGHierarchy, b: jax.Array) -> jax.Array:
     Reference: copyGridToVector -> Eigen SimplicialCholesky solve ->
     copyVectorToGrid (Source/HDK_GeometricMultigridPoissonSolver.cpp:669-692).
     """
-    bv = b.reshape(-1)[hier.coarse_dofs]
+    # Padded (bucketed) DOF entries carry an out-of-range index: the gather
+    # clips (and the corresponding zero minv columns neutralize the value),
+    # the scatter drops them.
+    bv = b.reshape(-1)[jnp.minimum(hier.coarse_dofs, b.size - 1)]
     xv = jnp.matmul(hier.coarse_minv, bv, precision=jax.lax.Precision.HIGHEST)
-    flat = jnp.zeros(b.size, dtype=b.dtype).at[hier.coarse_dofs].set(xv)
+    flat = jnp.zeros(b.size, dtype=b.dtype).at[hier.coarse_dofs].set(
+        xv, mode="drop"
+    )
     return flat.reshape(b.shape)
 
 

@@ -75,9 +75,7 @@ def test_instrumented_solve_matches_production():
     rhs_base = free_surface.negative_divergence(
         setup.liquid_mask, velocity, setup.weights
     )
-    rhs = free_surface._embed(
-        rhs_base, setup.expanded_shape, setup.offset, setup.base_bbox
-    )
+    rhs = free_surface._embed(rhs_base, setup)
 
     from geometricmultigridpressuresolver_tpu.solver import mgpcg
 
