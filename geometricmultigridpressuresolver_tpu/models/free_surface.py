@@ -586,7 +586,9 @@ class ProjectionResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "has_solid_vel", "has_x0", "base_pads", "expanded_shape"),
+    static_argnames=(
+        "config", "has_solid_vel", "has_x0", "base_pads", "expanded_shape", "mesh"
+    ),
 )
 def _project_impl(
     setup: ProjectionSetup,
@@ -598,6 +600,7 @@ def _project_impl(
     has_x0: bool,
     base_pads,
     expanded_shape,
+    mesh=None,
 ):
     """The whole per-frame computation as ONE program: RHS, warm start,
     MGPCG solve, writeback, audit.  (Eager per-op dispatch costs ~30 ms
@@ -619,7 +622,7 @@ def _project_impl(
         x0 = embed_window(warm, setup.window_start, base_pads, expanded_shape)
 
     cg_result = mgpcg._solve(setup.problem, rhs, x0 if x0 is not None else rhs,
-                             config, x0 is not None)
+                             config, x0 is not None, mesh)
 
     pressure = extract_window(
         cg_result.x, setup.window_start, base_pads, rhs_base.shape
@@ -641,6 +644,7 @@ def project(
     solid_velocity: Sequence[jax.Array] | None = None,
     old_pressure: jax.Array | None = None,
     config: SolverConfig = SolverConfig(),
+    mesh=None,
 ) -> ProjectionResult:
     """Steps 5-9: RHS, warm start, MGPCG solve, writeback, audit."""
     validate_fields(setup.liquid_mask, setup.weights, velocity=velocity)
@@ -659,5 +663,5 @@ def project(
 
     return _project_impl(
         setup, velocity, solid_velocity, old_pressure, config,
-        has_solid_vel, has_x0, setup.base_pads, setup.expanded_shape,
+        has_solid_vel, has_x0, setup.base_pads, setup.expanded_shape, mesh,
     )

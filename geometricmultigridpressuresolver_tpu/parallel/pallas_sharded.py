@@ -1,0 +1,128 @@
+"""Multi-chip fused smoother: shard_map + halo exchange + the Pallas kernel.
+
+Single-chip, the fused smoothing kernel (ops.pallas_smoother) executes the
+whole boundary^3/GS/boundary^3 pass stack in one HBM round trip.  This
+module runs the SAME kernel per device block under `jax.shard_map`:
+
+  1. every input grid gains an H-cell halo of neighbor data along each
+     sharded mesh axis (parallel/halo.py; ppermute over ICI, zeros at the
+     domain edges -- exactly the exterior boundary condition);
+  2. the kernel runs on the haloed block: its "no solvable cells in the
+     outer H shells" precondition holds by construction, because the outer
+     H cells ARE the halo (owned and updated by the neighbors);
+  3. the core is sliced back out.
+
+Because the halo depth equals the pass-stack depth, each pass k inside the
+kernel sees exactly the global pass-(k-1) values in its remaining-valid
+region -- the sharded result equals the single-device schedule to fp
+rounding, so the preconditioner stays symmetric and deterministic.
+
+The lane (z) axis must stay unsharded (the kernel uses full-z slabs with
+128-aligned DMA); use a (mx, my, 1) mesh for the Pallas path.  Falls back
+to the jnp operators under GSPMD otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec
+
+from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
+from geometricmultigridpressuresolver_tpu.parallel.halo import exchange_halos
+
+H = pallas_smoother.H
+
+
+def _level_spec(mesh, shape, min_per_device: int = 8) -> PartitionSpec:
+    from geometricmultigridpressuresolver_tpu.parallel.mesh import grid_pspec
+
+    return grid_pspec(mesh, shape, min_per_device)
+
+
+def sharded_eligible(shape, spec: PartitionSpec, mesh, level, num_levels,
+                     block_t: int = 8) -> bool:
+    """Kernel geometry preconditions for the sharded path.
+
+    Sharded axes need local cores that tile into slabs (halos replace the
+    shell requirement); unsharded axes keep the single-device conditions.
+    The lane axis must be unsharded and 128-aligned.
+    """
+    nx, ny, nz = shape
+    if spec[2] is not None or nz % 128:
+        return False
+    for axis, n in ((0, nx), (1, ny)):
+        name = spec[axis]
+        if name is None:
+            # Unsharded: the global outer-H shells must be non-solvable
+            # (the single-device padding rule).
+            if 2 ** (num_levels - 1 - level) < H:
+                return False
+            r = n - 2 * H
+        else:
+            if n % mesh.shape[name]:
+                return False
+            r = n // mesh.shape[name]
+        if r < 8 or r % 8:
+            return False
+    return True
+
+
+def smooth_level_sharded(
+    x: jax.Array,
+    b: jax.Array,
+    coeffs,
+    config,
+    forward: bool,
+    mesh,
+    interpret: bool = False,
+):
+    """Drop-in sharded replacement for solver.mg._smooth_level.
+
+    Inputs are global (possibly sharded) arrays; output keeps the input
+    partitioning.  Runs one halo exchange per <=H-pass kernel chunk.
+    """
+    spec = _level_spec(mesh, x.shape)
+    sharded_axes = tuple(
+        (axis, spec[axis], mesh.shape[spec[axis]])
+        for axis in range(3)
+        if spec[axis] is not None and mesh.shape[spec[axis]] > 1
+    )
+    core_slices = tuple(
+        slice(H, -H) if any(a == axis for a, _, _ in sharded_axes) else slice(None)
+        for axis in range(3)
+    )
+    schedule = pallas_smoother.schedule_for(config, forward)
+    band_i8 = coeffs.band.astype(jnp.int8)
+
+    def chunk_fn(chunk):
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(spec,) * 7,
+            out_specs=spec,
+            check_vma=False,
+        )
+        def run(x_blk, b_blk, invd, e0, e1, e2, band):
+            arrs = [
+                exchange_halos(a, H, sharded_axes)
+                for a in (x_blk, b_blk, invd, e0, e1, e2, band)
+            ]
+            out = pallas_smoother.fused_smooth(
+                arrs[0], arrs[1], arrs[2], arrs[3], arrs[4], arrs[5], arrs[6],
+                chunk, config.jacobi_damping,
+                block_t=config.pallas_block_t, block_y=config.pallas_block_y,
+                interpret=interpret,
+            )
+            return out[core_slices]
+
+        return run
+
+    for start in range(0, len(schedule), H):
+        chunk = schedule[start : start + H]
+        x = chunk_fn(chunk)(
+            x, b, coeffs.inv_diag, coeffs.ew0, coeffs.ew1, coeffs.ew2, band_i8
+        )
+    return x

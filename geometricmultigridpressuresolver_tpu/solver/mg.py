@@ -257,8 +257,9 @@ def _smooth_level(
     c: stencil.LevelCoeffs,
     config: SolverConfig,
     forward: bool,
-    use_pallas: bool = False,
+    use_pallas=False,
     emit_dot: bool = False,
+    mesh=None,
 ):
     """boundary^k ; interior ; boundary^k smoothing block.
 
@@ -269,6 +270,14 @@ def _smooth_level(
     With `emit_dot`, returns (x, <x, b>) (the CG rho fusion; jnp fallback
     computes the dot separately).
     """
+    if use_pallas == "sharded":
+        from geometricmultigridpressuresolver_tpu.ops import blas
+        from geometricmultigridpressuresolver_tpu.parallel import pallas_sharded
+
+        x = pallas_sharded.smooth_level_sharded(x, b, c, config, forward, mesh)
+        if emit_dot:
+            return x, blas.dot(x, b, c.solvable).astype(jnp.float32)
+        return x
     if use_pallas:
         from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
 
@@ -302,28 +311,55 @@ def _use_mm_transfers(config: SolverConfig) -> bool:
         return False
 
 
-def _pallas_level_flags(hier: "MGHierarchy", config: SolverConfig) -> tuple[bool, ...]:
-    """Per-level decision to use the fused Pallas smoothing kernel.
+def _pallas_level_flags(
+    hier: "MGHierarchy", config: SolverConfig, mesh=None
+) -> tuple:
+    """Per-level kernel selection: False (jnp), True (single-device fused
+    kernel), or "sharded" (shard_map + halo exchange, parallel/pallas_sharded).
 
-    "auto": TPU backend, a single addressable device (the kernel is not yet
-    shard_map-partitioned), fp32 fields, and the level passes the geometry
-    preconditions.  "pallas" skips the platform gate (fails loudly off-TPU,
-    for tests with interpret mode use ops.pallas_smoother directly).
+    "auto": TPU backend, fp32 fields, geometry preconditions.  With a mesh
+    of >1 devices the sharded path is considered; without one, a single
+    addressable device is required.  "pallas" skips the platform gate
+    (fails loudly off-TPU; tests use interpret mode directly).
     """
     from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
 
     mode = config.kernel_mode
+    nlev = hier.num_levels
     if mode == "jnp":
-        return (False,) * hier.num_levels
+        return (False,) * nlev
+    multi = mesh is not None and mesh.size > 1
     if mode == "auto":
         try:
             devices = jax.devices()
         except RuntimeError:
-            return (False,) * hier.num_levels
-        if devices[0].platform != "tpu" or len(devices) > 1:
-            return (False,) * hier.num_levels
+            return (False,) * nlev
+        if devices[0].platform != "tpu":
+            return (False,) * nlev
+        if len(devices) > 1 and not multi:
+            return (False,) * nlev
         if hier.levels[0].diag.dtype != jnp.float32:
-            return (False,) * hier.num_levels
+            return (False,) * nlev
+    if multi:
+        from geometricmultigridpressuresolver_tpu.parallel import pallas_sharded
+
+        flags = []
+        for level, c in enumerate(hier.levels):
+            spec = pallas_sharded._level_spec(mesh, c.shape)
+            if all(s is None for s in spec):
+                # Replicated level: the single-device kernel applies.
+                flags.append(
+                    pallas_smoother.eligible(
+                        c.shape, level, nlev, config.pallas_block_t
+                    )
+                )
+            elif pallas_sharded.sharded_eligible(
+                c.shape, spec, mesh, level, nlev, config.pallas_block_t
+            ):
+                flags.append("sharded")
+            else:
+                flags.append(False)
+        return tuple(flags)
     return tuple(
         pallas_smoother.eligible(
             c.shape, level, hier.num_levels, config.pallas_block_t
@@ -339,6 +375,7 @@ def v_cycle(
     config: SolverConfig = SolverConfig(),
     use_initial_guess: bool = False,
     emit_fine_dot: bool = False,
+    mesh=None,
 ):
     """One V(1,1) multigrid cycle; returns the updated solution grid.
 
@@ -350,7 +387,7 @@ def v_cycle(
     dtype = hier.levels[0].diag.dtype
     x = x.astype(dtype)
     b = b.astype(dtype)
-    pallas_ok = _pallas_level_flags(hier, config)
+    pallas_ok = _pallas_level_flags(hier, config, mesh)
     if _use_mm_transfers(config):
         restrict, prolong_add = transfer.restrict_mm, transfer.prolong_add_mm
     else:
@@ -363,7 +400,7 @@ def v_cycle(
         # Single-level cycle is smoothing-only (reference cpp:516-517).
         return _smooth_level(
             x, b, hier.levels[0], config, forward=True,
-            use_pallas=pallas_ok[0], emit_dot=emit_fine_dot,
+            use_pallas=pallas_ok[0], emit_dot=emit_fine_dot, mesh=mesh,
         )
 
     # Downstroke.
@@ -373,10 +410,11 @@ def v_cycle(
         c = hier.levels[level]
         xl = x if level == 0 else jnp.zeros(c.shape, dtype=dtype)
         xl = _smooth_level(
-            xl, rhs[level], c, config, forward=True, use_pallas=pallas_ok[level]
+            xl, rhs[level], c, config, forward=True,
+            use_pallas=pallas_ok[level], mesh=mesh,
         )
         sols[level] = xl
-        if pallas_ok[level]:
+        if pallas_ok[level] is True:
             from geometricmultigridpressuresolver_tpu.ops import pallas_cg
 
             r = pallas_cg.fused_residual(
@@ -397,7 +435,7 @@ def v_cycle(
         xl = _smooth_level(
             xl, rhs[level], c, config, forward=False,
             use_pallas=pallas_ok[level],
-            emit_dot=emit_fine_dot and level == 0,
+            emit_dot=emit_fine_dot and level == 0, mesh=mesh,
         )
         sols[level] = xl
 

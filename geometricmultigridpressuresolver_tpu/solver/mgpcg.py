@@ -60,8 +60,10 @@ def build_problem(
     return PoissonProblem(fine=fine, hier=hier)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "has_x0"))
-def _solve(problem: PoissonProblem, rhs, x0, config: SolverConfig, has_x0: bool):
+@functools.partial(jax.jit, static_argnames=("config", "has_x0", "mesh"))
+def _solve(
+    problem: PoissonProblem, rhs, x0, config: SolverConfig, has_x0: bool, mesh=None
+):
     fine = problem.fine
     solve_dtype = config.solve_dtype
 
@@ -76,6 +78,7 @@ def _solve(problem: PoissonProblem, rhs, x0, config: SolverConfig, has_x0: bool)
                 r,
                 config,
                 use_initial_guess=False,
+                mesh=mesh,
             )
             return z.astype(solve_dtype)
     else:
@@ -83,9 +86,10 @@ def _solve(problem: PoissonProblem, rhs, x0, config: SolverConfig, has_x0: bool)
             return fine.inv_diag * r
 
     # Fused search-direction/mat-vec/dot step (ops.pallas_cg) when the fine
-    # level runs the Pallas path; same gating as the smoother kernel.
+    # level runs the SINGLE-DEVICE Pallas path (the CG-step kernel has no
+    # sharded variant yet; under a mesh the outer CG stays on GSPMD jnp ops).
     use_fused = (
-        mg_mod._pallas_level_flags(problem.hier, config)[0]
+        mg_mod._pallas_level_flags(problem.hier, config, mesh)[0] is True
         and fine.diag.dtype == jnp.float32
     )
     if use_fused:
@@ -107,6 +111,7 @@ def _solve(problem: PoissonProblem, rhs, x0, config: SolverConfig, has_x0: bool)
                     config,
                     use_initial_guess=False,
                     emit_fine_dot=True,
+                    mesh=mesh,
                 )
                 return z.astype(solve_dtype), rho
 
@@ -140,9 +145,16 @@ def solve(
     rhs: jax.Array,
     x0: jax.Array | None = None,
     config: SolverConfig = SolverConfig(),
+    mesh=None,
 ) -> cg_mod.CGResult:
-    """MGPCG solve of the dimensionless Poisson system over solvable cells."""
+    """MGPCG solve of the dimensionless Poisson system over solvable cells.
+
+    `mesh` (a jax.sharding.Mesh over >1 devices) opts the V-cycle smoothers
+    into the shard_map + halo-exchange Pallas path on block-partitioned
+    inputs (parallel/pallas_sharded.py); without it, multi-device inputs
+    run the jnp operators under the GSPMD partitioner.
+    """
     has_x0 = x0 is not None
     if x0 is None:
         x0 = jnp.zeros_like(rhs)
-    return _solve(problem, rhs, x0, config, has_x0)
+    return _solve(problem, rhs, x0, config, has_x0, mesh)

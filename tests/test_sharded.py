@@ -108,3 +108,51 @@ def test_sharded_solve_lowers_to_collectives(eight_device_mesh):
     )
     assert "collective-permute" in hlo or "all-to-all" in hlo, "no halo exchange"
     assert "all-reduce" in hlo, "no cross-device reduction"
+
+
+def test_sharded_pallas_smoother_matches_jnp():
+    """The shard_map + halo-exchange fused smoother must equal the jnp
+    smoothing block (parallel/pallas_sharded.py; interpret mode on the
+    virtual CPU mesh)."""
+    from geometricmultigridpressuresolver_tpu.parallel import pallas_sharded
+    from geometricmultigridpressuresolver_tpu.solver import mg as mg_mod
+
+    mesh = make_mesh(8)  # (2, 2, 2) -- z sharded: ineligible
+    labels, weights, mg_levels = helpers.expanded_domain(
+        helpers.sine_dirichlet_domain, 32, fractional=True
+    )
+    config = SolverConfig(solve_dtype=jnp.float32)
+    hier = mg_mod.build_hierarchy(labels, weights, mg_levels, config)
+    c = hier.levels[0]
+
+    # A z-unsharded mesh for the kernel path.
+    import jax as _jax
+
+    mesh_xy = jax.sharding.Mesh(
+        np.array(_jax.devices()[:8]).reshape(4, 2, 1), ("x", "y", "z")
+    )
+    spec = pallas_sharded._level_spec(mesh_xy, c.shape)
+    assert spec == jax.sharding.PartitionSpec("x", "y", None)
+    # Eligibility: sharded local cores tile; z unsharded (128-alignment is
+    # a Mosaic constraint, irrelevant in interpret mode).
+    assert not pallas_sharded.sharded_eligible(
+        c.shape, pallas_sharded._level_spec(mesh, c.shape), mesh, 0,
+        hier.num_levels,
+    )
+
+    rng = np.random.default_rng(13)
+    x = jnp.where(
+        c.solvable, jnp.asarray(rng.standard_normal(c.shape), jnp.float32), 0.0
+    )
+    b = jnp.where(
+        c.solvable, jnp.asarray(rng.standard_normal(c.shape), jnp.float32), 0.0
+    )
+
+    for forward in (True, False):
+        ref = mg_mod._smooth_level(x, b, c, config, forward=forward)
+        got = pallas_sharded.smooth_level_sharded(
+            x, b, c, config, forward=forward, mesh=mesh_xy, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-6
+        )
