@@ -162,7 +162,9 @@ def run(
             reuse_setup=setup,
         )
         setup = fr.setup
-        frames.append(fr)
+        # Retain only the latest setup (needed for reuse): keeping one per
+        # frame would accumulate the full multigrid hierarchy in HBM.
+        frames.append(fr._replace(setup=None))
         liquid_phi, velocity, pressure = fr.liquid_phi, fr.velocity, fr.pressure
         if on_frame is not None:
             on_frame(k, fr)

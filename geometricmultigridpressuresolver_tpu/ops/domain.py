@@ -156,7 +156,6 @@ def compact_expansion_params(
     non_ext_count: int | None = None,
     coarse_dof_target: int = 3000,
     align_lanes: bool = True,
-    slack: int = 0,
 ) -> tuple[int, int, tuple[tuple[int, int], ...], tuple[int, int, int]]:
     """Compact-domain geometry from per-axis occupancy projections.
 
@@ -199,12 +198,8 @@ def compact_expansion_params(
                 break
 
     padding = 2 ** (mg_levels - 1)
-    # `slack` adds headroom (in units of `padding`) so a slightly-grown
-    # liquid bounding box next frame still fits the same window shape --
-    # compiled-program reuse across frames (see free_surface.build_setup).
     expanded = [
-        ((e + (2 + slack) * padding + padding - 1) // padding) * padding
-        for e in extents
+        ((e + 2 * padding + padding - 1) // padding) * padding for e in extents
     ]
     # TPU lane alignment: pad the last axis to a multiple of 128 for large
     # grids.  fp32 arrays are physically tiled (8, 128) in HBM, so the tail
@@ -215,19 +210,6 @@ def compact_expansion_params(
     if align_lanes and extents[2] + 2 * padding >= 160:
         expanded[2] = ((expanded[2] + 127) // 128) * 128
     return mg_levels, padding, tuple(bbox), tuple(expanded)
-
-
-def expand_domain_compact(labels, bbox, padding: int, expanded_shape):
-    """Crop labels to the active bbox and pad with EXTERIOR to the compact
-    expanded shape (leading pad exactly `padding`, trailing pad >= padding)."""
-    xp = _xp(labels)
-    sl = tuple(slice(lo, hi) for lo, hi in bbox)
-    region = xp.where(labels[sl] == BND, INT, labels[sl]).astype(LABEL_DTYPE)
-    pad = [
-        (padding, expanded_shape[a] - padding - (bbox[a][1] - bbox[a][0]))
-        for a in range(3)
-    ]
-    return xp.pad(region, pad, constant_values=EXT)
 
 
 def expand_face_weights(

@@ -28,7 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec
+from jax.sharding import PartitionSpec
 
 from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
 from geometricmultigridpressuresolver_tpu.parallel.halo import exchange_halos
@@ -42,13 +42,13 @@ def _level_spec(mesh, shape, min_per_device: int = 8) -> PartitionSpec:
     return grid_pspec(mesh, shape, min_per_device)
 
 
-def sharded_eligible(shape, spec: PartitionSpec, mesh, level, num_levels,
-                     block_t: int = 8) -> bool:
+def sharded_eligible(shape, spec: PartitionSpec, mesh, level, num_levels) -> bool:
     """Kernel geometry preconditions for the sharded path.
 
-    Sharded axes need local cores that tile into slabs (halos replace the
-    shell requirement); unsharded axes keep the single-device conditions.
-    The lane axis must be unsharded and 128-aligned.
+    Sharded axes need local cores of at least the halo depth H that tile
+    into slabs (halos replace the shell requirement); unsharded axes keep
+    the single-device conditions.  The lane axis must be unsharded and
+    128-aligned.
     """
     nx, ny, nz = shape
     if spec[2] is not None or nz % 128:
@@ -65,6 +65,8 @@ def sharded_eligible(shape, spec: PartitionSpec, mesh, level, num_levels,
             if n % mesh.shape[name]:
                 return False
             r = n // mesh.shape[name]
+            if r < H:  # exchange_halo_axis slices blk[r-H:]
+                return False
         if r < 8 or r % 8:
             return False
     return True
@@ -97,32 +99,31 @@ def smooth_level_sharded(
     schedule = pallas_smoother.schedule_for(config, forward)
     band_i8 = coeffs.band.astype(jnp.int8)
 
-    def chunk_fn(chunk):
-        @functools.partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(spec,) * 7,
-            out_specs=spec,
-            check_vma=False,
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec,) * 7,
+        out_specs=spec,
+        check_vma=False,
+    )
+    def run(x_blk, b_blk, invd, e0, e1, e2, band):
+        # Coefficients and rhs are constant across the whole pass stack:
+        # exchange their halos ONCE per smoother call; only the evolving
+        # solution re-exchanges between >H-pass chunks.
+        bh, invdh, e0h, e1h, e2h, bandh = (
+            exchange_halos(a, H, sharded_axes)
+            for a in (b_blk, invd, e0, e1, e2, band)
         )
-        def run(x_blk, b_blk, invd, e0, e1, e2, band):
-            arrs = [
-                exchange_halos(a, H, sharded_axes)
-                for a in (x_blk, b_blk, invd, e0, e1, e2, band)
-            ]
-            out = pallas_smoother.fused_smooth(
-                arrs[0], arrs[1], arrs[2], arrs[3], arrs[4], arrs[5], arrs[6],
+        xh = x_blk
+        for start in range(0, len(schedule), H):
+            chunk = schedule[start : start + H]
+            xh = exchange_halos(xh, H, sharded_axes)
+            xh = pallas_smoother.fused_smooth(
+                xh, bh, invdh, e0h, e1h, e2h, bandh,
                 chunk, config.jacobi_damping,
                 block_t=config.pallas_block_t, block_y=config.pallas_block_y,
                 interpret=interpret,
-            )
-            return out[core_slices]
+            )[core_slices]
+        return xh
 
-        return run
-
-    for start in range(0, len(schedule), H):
-        chunk = schedule[start : start + H]
-        x = chunk_fn(chunk)(
-            x, b, coeffs.inv_diag, coeffs.ew0, coeffs.ew1, coeffs.ew2, band_i8
-        )
-    return x
+    return run(x, b, coeffs.inv_diag, coeffs.ew0, coeffs.ew1, coeffs.ew2, band_i8)

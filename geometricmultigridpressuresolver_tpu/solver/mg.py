@@ -354,7 +354,7 @@ def _pallas_level_flags(
                     )
                 )
             elif pallas_sharded.sharded_eligible(
-                c.shape, spec, mesh, level, nlev, config.pallas_block_t
+                c.shape, spec, mesh, level, nlev
             ):
                 flags.append("sharded")
             else:
