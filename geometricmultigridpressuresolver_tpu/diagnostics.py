@@ -188,16 +188,30 @@ def expand(labels, weights=None):
     return relabeled, exp_weights, offset, mg_levels
 
 
-def delta_spike_rhs(shape, amplitude: float = 1000.0, solvable=None) -> np.ndarray:
-    """3^3 delta spike of `amplitude` at 10% of the grid.
+def delta_spike_rhs(
+    shape,
+    amplitude: float = 1000.0,
+    solvable=None,
+    offset=(0, 0, 0),
+    base_shape=None,
+) -> np.ndarray:
+    """3^3 delta spike of `amplitude` at 10% of the BASE grid.
 
-    Reference RHS fixture (Source/HDK_TestGeometricMultigrid.cpp:727-742).
+    Reference RHS fixture (Source/HDK_TestGeometricMultigrid.cpp:727-742):
+    the spike position is relative to the test grid; `offset` shifts it
+    into the expanded domain (otherwise 10% of an expanded grid can land in
+    the exterior padding, silently zeroing the RHS).
     """
+    base_shape = base_shape or shape
     rhs = np.zeros(shape, dtype=np.float64)
-    c = [max(1, s // 10) for s in shape]
+    c = [max(1, b // 10) + o for b, o in zip(base_shape, offset)]
     rhs[c[0] : c[0] + 3, c[1] : c[1] + 3, c[2] : c[2] + 3] = amplitude
     if solvable is not None:
         rhs[~np.asarray(solvable)] = 0.0
+        if not rhs.any():
+            raise ValueError(
+                "delta spike fell entirely outside the solvable set"
+            )
     return rhs
 
 
@@ -236,7 +250,7 @@ def run_conjugate_gradient_test(
         base, weights = build_complex_domain(grid_size, use_solid_sphere)
     else:
         base, weights = build_simple_domain(grid_size), None
-    labels, exp_weights, _, mg_levels = expand(base, weights)
+    labels, exp_weights, offset, mg_levels = expand(base, weights)
 
     config = SolverConfig(
         tolerance=tolerance,
@@ -247,7 +261,9 @@ def run_conjugate_gradient_test(
     problem = mgpcg.build_problem(labels, exp_weights, mg_levels, config)
     solvable = np.asarray(problem.fine.solvable)
 
-    rhs = delta_spike_rhs(labels.shape, solvable=solvable)
+    rhs = delta_spike_rhs(
+        labels.shape, solvable=solvable, offset=offset, base_shape=base.shape
+    )
     x0 = random_initial_guess(labels, seed=3) if use_random_guess else None
 
     t0 = time.time()
@@ -438,12 +454,17 @@ def run_smoother_test(
         base, weights = build_complex_domain(grid_size, use_solid_sphere)
     else:
         base, weights = build_simple_domain(grid_size), None
-    labels, exp_weights, _, mg_levels = expand(base, weights)
+    labels, exp_weights, offset, mg_levels = expand(base, weights)
     config = SolverConfig(use_gauss_seidel=use_gauss_seidel)
     hier = mg_mod.build_hierarchy(labels, exp_weights, 1, config)
     c = hier.levels[0]
 
-    rhs = jnp.asarray(delta_spike_rhs(labels.shape, solvable=np.asarray(c.solvable)))
+    rhs = jnp.asarray(
+        delta_spike_rhs(
+            labels.shape, solvable=np.asarray(c.solvable), offset=offset,
+            base_shape=base.shape,
+        )
+    )
     smooth = jax.jit(
         lambda x: mg_mod._smooth_level(x, rhs, c, config, forward=True)
     )

@@ -237,3 +237,31 @@ def test_field_validation_errors():
         free_surface.validate_fields(np.zeros((n, n)), weights)
     # Aligned inputs pass.
     free_surface.validate_fields(phi, weights, velocity=velocity)
+
+
+def test_sticky_window_reuse():
+    """build_setup(reuse_from=prev) keeps the previous window shape when
+    the new bounding box fits, so per-frame programs stay compiled."""
+    n = 24
+    config = SolverConfig(tolerance=1e-6, max_iterations=200)
+    phi, velocity = sdf.splash_scene((n, n, n))
+    weights = sdf.open_box_weights((n, n, n))
+    s0 = free_surface.build_setup(phi, weights, config=config)
+
+    # A slightly SHRUNK liquid (drop removed) must reuse s0's shape.
+    phi_shrunk = np.asarray(phi).copy()
+    phi_shrunk[:, 2 * n // 3 :, :] = 1.0  # cut the top region to air
+    s1 = free_surface.build_setup(
+        phi_shrunk, weights, config=config, reuse_from=s0
+    )
+    assert s1.expanded_shape == s0.expanded_shape
+    assert s1.padding == s0.padding and s1.mg_levels == s0.mg_levels
+
+    # The reused-window solve still projects correctly.
+    res = free_surface.project(s1, velocity, config=config)
+    assert bool(res.cg.converged)
+    assert float(res.max_divergence) < 1e-4
+
+    # Without reuse, the shrunk scene gets its own (smaller) shape.
+    s2 = free_surface.build_setup(phi_shrunk, weights, config=config)
+    assert all(a <= b for a, b in zip(s2.expanded_shape, s0.expanded_shape))
