@@ -17,9 +17,30 @@ Layer map (mirrors reference SURVEY.md section 1):
       parallel/             -- device-mesh sharding (new vs reference)
 """
 
-from geometricmultigridpressuresolver_tpu.grids import CellLabel
+from geometricmultigridpressuresolver_tpu.grids import CellLabel, MaterialLabel
 from geometricmultigridpressuresolver_tpu.config import SolverConfig
 
 __version__ = "0.1.0"
 
-__all__ = ["CellLabel", "SolverConfig", "__version__"]
+__all__ = ["CellLabel", "MaterialLabel", "SolverConfig", "__version__"]
+
+
+def __getattr__(name):
+    # Lazy subsystem access (keeps bare import light for CLI/tools):
+    # gmg.free_surface, gmg.mgpcg, gmg.simulate, gmg.diagnostics, gmg.io ...
+    import importlib
+
+    lazy = {
+        "free_surface": "geometricmultigridpressuresolver_tpu.models.free_surface",
+        "simulate": "geometricmultigridpressuresolver_tpu.models.simulate",
+        "assembled": "geometricmultigridpressuresolver_tpu.models.assembled",
+        "sdf": "geometricmultigridpressuresolver_tpu.models.sdf",
+        "mgpcg": "geometricmultigridpressuresolver_tpu.solver.mgpcg",
+        "diagnostics": "geometricmultigridpressuresolver_tpu.diagnostics",
+        "io": "geometricmultigridpressuresolver_tpu.io",
+        "parallel": "geometricmultigridpressuresolver_tpu.parallel",
+        "profiling": "geometricmultigridpressuresolver_tpu.utils.profiling",
+    }
+    if name in lazy:
+        return importlib.import_module(lazy[name])
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

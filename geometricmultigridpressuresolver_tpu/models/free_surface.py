@@ -582,6 +582,11 @@ class ProjectionResult(NamedTuple):
     cg: cg_mod.CGResult
     max_divergence: jax.Array
     avg_divergence: jax.Array
+    # Recomputed (not recurrence-drifted) residual diagnostics, as the
+    # reference node prints after the solve
+    # (Source/HDK_GeometricFreeSurfacePressureSolver.cpp:620-628).
+    residual_rel_l2: jax.Array
+    residual_linf: jax.Array
 
 
 @functools.partial(
@@ -629,13 +634,25 @@ def _project_impl(
     )
     pressure = jnp.where(setup.liquid_mask, pressure, jnp.zeros_like(pressure))
 
+    # Recomputed residual report (reference cpp:620-628).
+    from geometricmultigridpressuresolver_tpu.ops import stencil as stencil_ops
+
+    rel_l2, linf = cg_mod.recomputed_residual_norms(
+        lambda v: stencil_ops.apply_poisson(v, setup.problem.fine),
+        cg_result.x,
+        rhs,
+        setup.problem.fine.solvable,
+    )
+
     new_velocity = apply_pressure_gradient(
         velocity, pressure, setup.valid_faces, setup.grad_scale
     )
     max_div, _, avg_div = divergence_stats(
         setup.liquid_mask, new_velocity, setup.weights, solid_velocity
     )
-    return ProjectionResult(pressure, new_velocity, cg_result, max_div, avg_div)
+    return ProjectionResult(
+        pressure, new_velocity, cg_result, max_div, avg_div, rel_l2, linf
+    )
 
 
 def project(
