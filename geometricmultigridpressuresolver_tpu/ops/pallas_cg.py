@@ -28,17 +28,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 from geometricmultigridpressuresolver_tpu.ops.pallas_smoother import (
     H,
+    _neighbor_shift,
     _pick_tile,
-    eligible,
 )
 
 
-def _shz(v, up: bool):
-    """Zero-filled unit shift along the lane (z) axis."""
-    zrow = jnp.zeros(v.shape[:-1] + (1,), dtype=v.dtype)
-    if up:
-        return jnp.concatenate([v[..., 1:], zrow], axis=-1)
-    return jnp.concatenate([zrow, v[..., :-1]], axis=-1)
+def _neighbor_sum_slab(pp, e0, e1, e2, t: int, y: int):
+    """Off-diagonal sum S over the central (t, y, full-z) region of a slab
+    with a 1-cell x halo and an H-cell y halo (the shared geometry of the
+    CG-step and residual kernels).
+
+    S[i] = e[i] * v[i+1] + e[i-1] * v[i-1] per axis, with cell-shaped
+    upper-face weights (ops.stencil.neighbor_sum).
+    """
+    c = pp[1 : 1 + t, H : H + y, :]
+    e2c = e2[1 : 1 + t, H : H + y, :]
+    return (
+        e0[1 : 1 + t, H : H + y, :] * pp[2 : 2 + t, H : H + y, :]
+        + e0[0:t, H : H + y, :] * pp[0:t, H : H + y, :]
+        + e1[1 : 1 + t, H : H + y, :] * pp[1 : 1 + t, H + 1 : H + y + 1, :]
+        + e1[1 : 1 + t, H - 1 : H + y - 1, :]
+        * pp[1 : 1 + t, H - 1 : H + y - 1, :]
+        + e2c * _neighbor_shift(c, 2, True)
+        + _neighbor_shift(e2c * c, 2, False)
+    )
 
 
 def _make_kernel(t: int, y: int, gy: int, nb: int):
@@ -112,25 +125,9 @@ def _make_kernel(t: int, y: int, gy: int, nb: int):
 
         beta = beta_smem[0, 0]
         pp = zs[cur] + beta * ps[cur]  # p' over the haloed slab
-        dg = dgs[cur]
-        e0, e1, e2 = e0s[cur], e1s[cur], e2s[cur]
-
-        def ctr(v):
-            return v[1 : 1 + t, H : H + y, :]
-
-        c = ctr(pp)
-        e0c, e1c, e2c = ctr(e0), ctr(e1), ctr(e2)
-        # S[i] = e[i] * p'[i+1] + e[i-1] * p'[i-1] per axis (cell-shaped
-        # upper-face weights; ops.stencil.neighbor_sum).
-        s = (
-            e0c * pp[2 : 2 + t, H : H + y, :]
-            + e0[0:t, H : H + y, :] * pp[0:t, H : H + y, :]
-            + e1c * pp[1 : 1 + t, H + 1 : H + y + 1, :]
-            + e1[1 : 1 + t, H - 1 : H + y - 1, :] * pp[1 : 1 + t, H - 1 : H + y - 1, :]
-            + e2c * _shz(c, True)
-            + _shz(e2c * c, False)
-        )
-        ap = ctr(dg) * c - s
+        c = pp[1 : 1 + t, H : H + y, :]
+        s = _neighbor_sum_slab(pp, e0s[cur], e1s[cur], e2s[cur], t, y)
+        ap = dgs[cur][1 : 1 + t, H : H + y, :] * c - s
         acc[0, 0] = acc[0, 0] + jnp.sum(c * ap, dtype=jnp.float32)
 
         # Reuse the consumed input slabs as output staging.
@@ -212,24 +209,11 @@ def _make_residual_kernel(t: int, y: int, gy: int, nb: int):
             cp.wait()
 
         xx = xsl[cur]
-        dg = dgs[cur]
-        e0, e1, e2 = e0s[cur], e1s[cur], e2s[cur]
-
-        def ctr(v):
-            return v[1 : 1 + t, H : H + y, :]
-
-        c = ctr(xx)
-        e2c = ctr(e2)
-        s = (
-            ctr(e0) * xx[2 : 2 + t, H : H + y, :]
-            + e0[0:t, H : H + y, :] * xx[0:t, H : H + y, :]
-            + ctr(e1) * xx[1 : 1 + t, H + 1 : H + y + 1, :]
-            + e1[1 : 1 + t, H - 1 : H + y - 1, :]
-            * xx[1 : 1 + t, H - 1 : H + y - 1, :]
-            + e2c * _shz(c, True)
-            + _shz(e2c * c, False)
+        c = xx[1 : 1 + t, H : H + y, :]
+        s = _neighbor_sum_slab(xx, e0s[cur], e1s[cur], e2s[cur], t, y)
+        r = bsl[cur][1 : 1 + t, H : H + y, :] - (
+            dgs[cur][1 : 1 + t, H : H + y, :] * c - s
         )
-        r = ctr(bsl[cur]) - (ctr(dg) * c - s)
 
         xsl[cur, pl.ds(1, t), pl.ds(H, y), :] = r
         out_copy(idx, cur).start()

@@ -67,8 +67,15 @@ def schedule_for(config, forward: bool) -> tuple[str, ...]:
 
 
 def _pick_tile(r: int, t_max: int, quantum: int = 8) -> int:
-    """Largest multiple of `quantum` <= t_max dividing r (r % quantum == 0)."""
-    t = min(t_max, r)
+    """Largest multiple of `quantum` <= max(t_max, quantum) dividing r.
+
+    Requires r to be a positive multiple of `quantum` (the eligibility
+    gates guarantee it); raises otherwise rather than returning a bogus
+    tile.
+    """
+    if r < quantum or r % quantum:
+        raise ValueError(f"extent {r} is not a positive multiple of {quantum}")
+    t = max(min(t_max, r), quantum)
     t -= t % quantum
     while t > quantum and r % t:
         t -= quantum
@@ -88,13 +95,26 @@ def eligible(shape, level: int, num_levels: int, block_t: int = 8) -> bool:
     nx, ny, nz = shape
     if 2 ** (num_levels - 1 - level) < H:
         return False
-    if (nx - 2 * H) < block_t or (nx - 2 * H) % block_t:
+    # The kernel's true tiling quantum is 8 (_pick_tile shrinks block_t/y).
+    if (nx - 2 * H) < 8 or (nx - 2 * H) % 8:
         return False
     if (ny - 2 * H) < 8 or (ny - 2 * H) % 8:
         return False
     if nz % 128:  # Mosaic DMA slices must be 128-aligned along lanes
         return False
+    # Even minimal (8, 8) slabs must fit the VMEM budget (huge-nz levels
+    # fall back to jnp instead of failing Mosaic compilation).
+    if _vmem_estimate(8 + 2 * H, 8 + 2 * H, nz, 4) > (100 << 20):
+        return False
     return True
+
+
+def _vmem_estimate(sx: int, sy: int, nz: int, ew_itemsize: int) -> int:
+    """Scratch (2 slots x {3 fp32 + 3 ew + int8} slabs) plus headroom for
+    Mosaic's compute temporaries."""
+    slab = sx * sy * nz
+    per_cell = 3 * 4 + 3 * ew_itemsize + 1
+    return 2 * per_cell * slab + 8 * 4 * slab + (4 << 20)
 
 
 def _neighbor_shift(x, axis: int, up: bool):
@@ -276,23 +296,28 @@ def fused_smooth(
     """
     nx, ny, nz = x.shape
     rx, ry = nx - 2 * H, ny - 2 * H
+    fdt = x.dtype
+    edt = ew0.dtype  # possibly narrower (config.mg_ew_dtype)
     tb = _pick_tile(rx, block_t)
     yb = _pick_tile(ry, block_y)
+    # Shrink the slab until it fits the VMEM budget (eligible() guarantees
+    # the minimal (8, 8) slab fits).
+    while _vmem_estimate(tb + 2 * H, yb + 2 * H, nz, edt.itemsize) > (100 << 20):
+        if yb > 8:
+            yb = _pick_tile(ry, yb - 8)
+        elif tb > 8:
+            tb = _pick_tile(rx, tb - 8)
+        else:
+            break
     gx, gy = rx // tb, ry // yb
     nb = gx * gy
     sx, sy = tb + 2 * H, yb + 2 * H
 
     kernel = _make_kernel(schedule, damping, tb, yb, gy, nb, emit_dot)
-    fdt = x.dtype
-    edt = ew0.dtype  # possibly narrower (config.mg_ew_dtype)
     slab = lambda dt: pltpu.VMEM((2, sx, sy, nz), dt)  # noqa: E731
 
     zin = jnp.zeros_like(x)
-    # Scratch (2 slots x {3 field fp32 + 3 ew + int8} slabs) plus generous
-    # headroom for the compiler's compute temporaries.
-    slab_bytes = sx * sy * nz
-    per_cell = 3 * fdt.itemsize + 3 * edt.itemsize + 1
-    vmem_bytes = 2 * per_cell * slab_bytes + 8 * 4 * slab_bytes + (4 << 20)
+    vmem_bytes = _vmem_estimate(sx, sy, nz, edt.itemsize)
 
     out_shape = jax.ShapeDtypeStruct(x.shape, fdt)
     out_specs = pl.BlockSpec(memory_space=pl.ANY)

@@ -110,6 +110,9 @@ def smooth_level_sharded(
         # Coefficients and rhs are constant across the whole pass stack:
         # exchange their halos ONCE per smoother call; only the evolving
         # solution re-exchanges between >H-pass chunks.
+        # TODO(perf): the five coefficient arrays are also constant across
+        # the whole SOLVE -- a sharded-hierarchy structure with pre-haloed
+        # coefficient blocks would remove ~5/7 of the per-call ICI traffic.
         bh, invdh, e0h, e1h, e2h, bandh = (
             exchange_halos(a, H, sharded_axes)
             for a in (b_blk, invd, e0, e1, e2, band)
