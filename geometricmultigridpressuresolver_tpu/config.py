@@ -61,6 +61,11 @@ class SolverConfig:
     solve_dtype: Any = jnp.float64
     mg_dtype: Any = None  # defaults to solve_dtype
     use_gauss_seidel: bool = True
+    # Optional interior-smoother override: None derives from
+    # use_gauss_seidel; "chebyshev" uses the polynomial smoother
+    # (ops.stencil.chebyshev_smooth; jnp path only) of `chebyshev_degree`.
+    interior_smoother: str | None = None
+    chebyshev_degree: int = 2
     jacobi_damping: float = 2.0 / 3.0
     boundary_width: int = 3
     boundary_iterations: int = 3

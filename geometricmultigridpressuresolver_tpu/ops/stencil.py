@@ -198,3 +198,44 @@ def rb_gauss_seidel(
     for color in order:
         x = rb_gauss_seidel_color(x, b, c, color)
     return x
+
+
+def chebyshev_smooth(
+    x: jax.Array,
+    b: jax.Array,
+    c: LevelCoeffs,
+    degree: int = 2,
+    lambda_max: float = 12.0,
+    smoothing_ratio: float = 4.0,
+) -> jax.Array:
+    """Chebyshev polynomial smoother of the given degree.
+
+    An optional alternative to the reference's smoothers (an extra beyond
+    the reference, informed by the polynomial-smoother literature in
+    PAPERS.md): x' = x + p(A) r with Chebyshev coefficients targeting the
+    upper part of the spectrum [lambda_max / smoothing_ratio, lambda_max].
+    For the dimensionless Poisson operator, Gershgorin bounds the spectrum
+    by 12 (diagonal 6 plus off-diagonal row sum 6).
+
+    Because the smoother is a fixed polynomial in A, it commutes with A and
+    is self-adjoint in the A-inner product automatically -- the V-cycle
+    stays a symmetric preconditioner WITHOUT the adjoint sweep-ordering
+    bookkeeping Gauss-Seidel requires.
+    """
+    lambda_min = lambda_max / smoothing_ratio
+    theta = 0.5 * (lambda_max + lambda_min)
+    delta = 0.5 * (lambda_max - lambda_min)
+    sigma = theta / delta
+    dtype = x.dtype
+
+    r = residual(x, b, c)
+    d = dtype.type(1.0 / theta) * r
+    x = x + d
+    rho = 1.0 / sigma
+    for _ in range(1, degree):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        r = residual(x, b, c)
+        d = dtype.type(rho_new * rho) * d + dtype.type(2.0 * rho_new / delta) * r
+        x = x + d
+        rho = rho_new
+    return x

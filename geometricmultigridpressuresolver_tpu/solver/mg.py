@@ -270,6 +270,19 @@ def _smooth_level(
     With `emit_dot`, returns (x, <x, b>) (the CG rho fusion; jnp fallback
     computes the dot separately).
     """
+    if config.interior_smoother == "chebyshev":
+        # Polynomial smoother (self-adjoint in the A-inner product; no
+        # forward/backward ordering needed).  jnp path only.
+        for _ in range(config.boundary_iterations):
+            x = stencil.boundary_jacobi(x, b, c, config.jacobi_damping)
+        x = stencil.chebyshev_smooth(x, b, c, config.chebyshev_degree)
+        for _ in range(config.boundary_iterations):
+            x = stencil.boundary_jacobi(x, b, c, config.jacobi_damping)
+        if emit_dot:
+            from geometricmultigridpressuresolver_tpu.ops import blas
+
+            return x, blas.dot(x, b, c.solvable).astype(jnp.float32)
+        return x
     if use_pallas == "sharded":
         from geometricmultigridpressuresolver_tpu.ops import blas
         from geometricmultigridpressuresolver_tpu.parallel import pallas_sharded
@@ -326,7 +339,7 @@ def _pallas_level_flags(
 
     mode = config.kernel_mode
     nlev = hier.num_levels
-    if mode == "jnp":
+    if mode == "jnp" or config.interior_smoother == "chebyshev":
         return (False,) * nlev
     multi = mesh is not None and mesh.size > 1
     if mode == "auto":

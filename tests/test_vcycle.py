@@ -150,3 +150,40 @@ def test_mixed_precision_preconditioner():
         lambda v: stencil.apply_poisson(v, problem.fine), result.x, rhs, problem.fine.solvable
     )
     assert float(rel_l2) < 1e-7
+
+
+def test_chebyshev_smoother_option():
+    """Optional Chebyshev interior smoother (beyond-reference extra): the
+    cycle must stay symmetric and the MGPCG solve must converge."""
+    import jax
+
+    from geometricmultigridpressuresolver_tpu.ops import blas
+    from tests import helpers
+
+    labels, weights, mg_levels = helpers.expanded_domain(
+        helpers.sine_dirichlet_domain, 16, fractional=True
+    )
+    config = SolverConfig(interior_smoother="chebyshev", chebyshev_degree=3)
+    hier = mg_mod.build_hierarchy(labels, weights, mg_levels, config)
+    solvable = hier.levels[0].solvable
+
+    def op(rhs):
+        x = mg_mod.v_cycle(hier, jnp.zeros_like(rhs), rhs, config)
+        return mg_mod.v_cycle(hier, x, rhs, config, use_initial_guess=True)
+
+    rng = np.random.default_rng(4)
+    a = jnp.where(solvable, jnp.asarray(rng.standard_normal(labels.shape)), 0.0)
+    b = jnp.where(solvable, jnp.asarray(rng.standard_normal(labels.shape)), 0.0)
+    jop = jax.jit(op)
+    dot_a = float(blas.dot(jop(a), b, solvable))
+    dot_b = float(blas.dot(jop(b), a, solvable))
+    assert abs(dot_a - dot_b) / max(abs(dot_a), abs(dot_b)) < 1e-10
+
+    problem = mgpcg.build_problem(labels, weights, mg_levels, config)
+    rhs = jnp.where(solvable, jnp.asarray(rng.standard_normal(labels.shape)), 0.0)
+    result = mgpcg.solve(problem, rhs, config=SolverConfig(
+        interior_smoother="chebyshev", chebyshev_degree=3,
+        tolerance=1e-8, max_iterations=200,
+    ))
+    assert bool(result.converged)
+    assert int(result.iterations) < 60
