@@ -15,7 +15,19 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
+import jax
 import jax.numpy as jnp
+
+
+def _default_solve_dtype():
+    """float64 like the reference when x64 is enabled, float32 otherwise.
+
+    JAX silently truncates float64 requests without `jax_enable_x64` (the
+    default on TPU), so defaulting to float64 there would only produce
+    truncation warnings; the resolved default is captured when the config
+    object is created.
+    """
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,7 +70,7 @@ class SolverConfig:
       dirichlet_band: Dirichlet rings kept around the liquid when trimming.
     """
 
-    solve_dtype: Any = jnp.float64
+    solve_dtype: Any = dataclasses.field(default_factory=_default_solve_dtype)
     mg_dtype: Any = None  # defaults to solve_dtype
     use_gauss_seidel: bool = True
     # Optional interior-smoother override: None derives from

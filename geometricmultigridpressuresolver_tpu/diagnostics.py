@@ -472,17 +472,53 @@ def run_smoother_test(
         lambda x: blas.l2_norm(stencil.residual(x, rhs, c), c.solvable)
     )
 
+    # Per-phase timing split (reference testSmoother reports boundary-phase
+    # vs interior-phase averages separately,
+    # Source/HDK_TestGeometricMultigrid.cpp:2104-2105).  Timed on the jnp
+    # operators so the phases are separable; the combined loop below uses
+    # the production (possibly fused) block.
+    def boundary_phase(x):
+        for _ in range(config.boundary_iterations):
+            x = stencil.boundary_jacobi(x, rhs, c, config.jacobi_damping)
+        return x
+
+    def interior_phase(x):
+        if config.use_gauss_seidel:
+            return stencil.rb_gauss_seidel(x, rhs, c, forward=True)
+        return stencil.jacobi_smooth(x, rhs, c, config.jacobi_damping)
+
+    boundary_phase = jax.jit(boundary_phase)
+    interior_phase = jax.jit(interior_phase)
+
     x = jnp.zeros_like(rhs)
     norms = [float(res_norm(x))]
     times = []
+    boundary_times = []
+    interior_times = []
     for _ in range(max_smoother_iterations):
+        t0 = time.time()
+        xb = jax.block_until_ready(boundary_phase(x))
+        t1 = time.time()
+        xi = jax.block_until_ready(interior_phase(xb))
+        t2 = time.time()
+        jax.block_until_ready(boundary_phase(xi))
+        t3 = time.time()
+        boundary_times.append((t1 - t0) + (t3 - t2))
+        interior_times.append(t2 - t1)
+
         t0 = time.time()
         x = jax.block_until_ready(smooth(x))
         times.append(time.time() - t0)
         norms.append(float(res_norm(x)))
+
+    def _avg(ts):
+        return float(np.mean(ts[1:])) if len(ts) > 1 else ts[0]
+
     return {
         "residual_l2": norms,
-        "avg_smooth_seconds": float(np.mean(times[1:])) if len(times) > 1 else times[0],
+        "avg_smooth_seconds": _avg(times),
+        "avg_boundary_phase_seconds": _avg(boundary_times),
+        "avg_interior_phase_seconds": _avg(interior_times),
     }
 
 
@@ -566,6 +602,10 @@ def main(argv=None):
         for i, v in enumerate(r["residual_l2"]):
             print(f"  iteration {i}: residual L2 {v:.10e}")
         print(f"  avg smoother block: {r['avg_smooth_seconds'] * 1e3:.3f} ms")
+        print(
+            f"  avg boundary phase: {r['avg_boundary_phase_seconds'] * 1e3:.3f} ms"
+            f"  avg interior phase: {r['avg_interior_phase_seconds'] * 1e3:.3f} ms"
+        )
 
     if not any_ran:
         print("no test toggles given; see --help (mirrors the reference node's toggles)")

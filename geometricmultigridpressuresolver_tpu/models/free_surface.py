@@ -580,7 +580,11 @@ class ProjectionResult(NamedTuple):
     pressure: jax.Array
     velocity: tuple[jax.Array, ...]
     cg: cg_mod.CGResult
+    # Post-projection divergence audit: max / accumulated / average over
+    # liquid cells, as printed by the reference
+    # (Source/HDK_GeometricFreeSurfacePressureSolver.cpp:704-706).
     max_divergence: jax.Array
+    accumulated_divergence: jax.Array
     avg_divergence: jax.Array
     # Recomputed (not recurrence-drifted) residual diagnostics, as the
     # reference node prints after the solve
@@ -647,11 +651,12 @@ def _project_impl(
     new_velocity = apply_pressure_gradient(
         velocity, pressure, setup.valid_faces, setup.grad_scale
     )
-    max_div, _, avg_div = divergence_stats(
+    max_div, total_div, avg_div = divergence_stats(
         setup.liquid_mask, new_velocity, setup.weights, solid_velocity
     )
     return ProjectionResult(
-        pressure, new_velocity, cg_result, max_div, avg_div, rel_l2, linf
+        pressure, new_velocity, cg_result, max_div, total_div, avg_div,
+        rel_l2, linf,
     )
 
 

@@ -120,7 +120,7 @@ def face_weights_from_solid(
                     coords[2] + shift[2],
                     indexing="ij",
                 )
-                w = w + (solid_fn(grid) < 0).astype(np.float64)
+                w = w + (solid_fn(grid) < 0).astype(w.dtype)
         w = w / (samples * samples)
         w = xp.where(w < clamp, 0.0, w)
 

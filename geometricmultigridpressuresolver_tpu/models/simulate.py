@@ -80,6 +80,10 @@ def advect_velocity(velocity, dt: float, dx: float) -> tuple:
             for a in range(3)
         ]
         back = [idx[a] - (dt / dx) * vel_at_face[a] for a in range(3)]
+        # `back` is in cell space (face i at coordinate i - 0.5 along its
+        # own axis); the face ARRAY stores face i at index i, so shift by
+        # +0.5 along the component's own axis before sampling.
+        back[axis] = back[axis] + 0.5
         out.append(_sample(velocity[axis], back))
     return tuple(out)
 

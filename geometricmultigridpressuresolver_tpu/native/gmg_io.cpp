@@ -13,7 +13,8 @@
 //   magic   "GMGF"            4 bytes
 //   version u32 = 1
 //   dtype   u32  (0 = f32, 1 = f64, 2 = i8, 3 = i32)
-//   tile    u32  (tile edge length, e.g. 16)
+//   tile    u32  (tile edge length, 1..4096)
+//   reserved u32 = 0  (alignment; must be written as 0, ignored on read)
 //   shape   u64 x 3  (nx, ny, nz; row-major C order)
 //   tiles in lexicographic (tx, ty, tz) order, each:
 //     flag  u8  (0 = constant, 1 = dense)
@@ -45,12 +46,21 @@ size_t dtype_size(uint32_t dtype) {
   }
 }
 
+// Tile edges beyond this are certainly corrupt (a 4096^3 dense tile is
+// already 0.5 TB); rejecting them also bounds the tile-buffer allocation.
+constexpr uint32_t kMaxTile = 4096;
+
 struct Header {
   uint32_t version = kVersion;
   uint32_t dtype = 0;
   uint32_t tile = 16;
+  // Explicit alignment field: without it the compiler inserts 4 padding
+  // bytes before shape[] anyway, making the on-disk layout ABI-dependent.
+  // Writing it explicitly pins the 40-byte layout to the spec above.
+  uint32_t reserved = 0;
   uint64_t shape[3] = {0, 0, 0};
 };
+static_assert(sizeof(Header) == 40, "on-disk header layout must be 40 bytes");
 
 bool write_all(FILE* f, const void* p, size_t n) {
   return fwrite(p, 1, n, f) == n;
@@ -69,7 +79,9 @@ extern "C" {
 int64_t gmg_save(const char* path, const void* data, int64_t nx, int64_t ny,
                  int64_t nz, int32_t dtype, int32_t tile) {
   const size_t esz = dtype_size(dtype);
-  if (esz == 0 || tile <= 0 || nx <= 0 || ny <= 0 || nz <= 0) return -3;
+  if (esz == 0 || tile <= 0 || static_cast<uint32_t>(tile) > kMaxTile ||
+      nx <= 0 || ny <= 0 || nz <= 0)
+    return -3;
 
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
@@ -132,7 +144,7 @@ int64_t gmg_info(const char* path, int64_t* shape, int32_t* dtype,
   Header h;
   if (!read_all(f, magic, 4) || std::memcmp(magic, kMagic, 4) != 0 ||
       !read_all(f, &h, sizeof(h)) || h.version != kVersion ||
-      dtype_size(h.dtype) == 0) {
+      dtype_size(h.dtype) == 0 || h.tile == 0 || h.tile > kMaxTile) {
     fclose(f);
     return -4;
   }
@@ -153,7 +165,8 @@ int64_t gmg_load(const char* path, void* out, int64_t nx, int64_t ny,
   char magic[4];
   Header h;
   if (!read_all(f, magic, 4) || std::memcmp(magic, kMagic, 4) != 0 ||
-      !read_all(f, &h, sizeof(h)) || h.version != kVersion) {
+      !read_all(f, &h, sizeof(h)) || h.version != kVersion ||
+      h.tile == 0 || h.tile > kMaxTile) {
     fclose(f);
     return -4;
   }

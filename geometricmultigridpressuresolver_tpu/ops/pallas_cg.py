@@ -28,8 +28,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from geometricmultigridpressuresolver_tpu.ops.pallas_smoother import (
     H,
+    _dense_block_list,
     _neighbor_shift,
-    _pick_tile,
+    plan_tiles,
 )
 
 
@@ -54,19 +55,23 @@ def _neighbor_sum_slab(pp, e0, e1, e2, t: int, y: int):
     )
 
 
-def _make_kernel(t: int, y: int, gy: int, nb: int):
+def _make_kernel(t: int, y: int):
     # All six arrays stream in with the same haloed slab: 1-cell halo in x
     # (dim-0 offsets are unconstrained), 8-cell halo in y (sublane-aligned
-    # offsets; only 1 cell is consumed).
+    # offsets; only 1 cell is consumed).  Blocks come from a compacted
+    # active-slab list (ox/oy/n_active in SMEM); dead slabs are skipped
+    # outright -- their outputs are zero via the aliased zero inputs, and
+    # they contribute zero to the dot.
     sxh, syh = t + 2, y + 2 * H
 
     def kernel(
         z_hbm, p_hbm, dg_hbm, e0_hbm, e1_hbm, e2_hbm, beta_smem,
-        _zin0, _zin1,
+        _zin0, _zin1, ox_s, oy_s, na_s,
         pn_hbm, ap_hbm, dot_smem,
         zs, ps, dgs, e0s, e1s, e2s, acc, in_sem, out_sem,
     ):
         idx = pl.program_id(0)
+        na = na_s[0]
         cur = jax.lax.rem(idx, jnp.int32(2))
         nxt = jax.lax.rem(idx + jnp.int32(1), jnp.int32(2))
 
@@ -75,9 +80,9 @@ def _make_kernel(t: int, y: int, gy: int, nb: int):
             (e0_hbm, e0s), (e1_hbm, e1s), (e2_hbm, e2s),
         )
 
-        def in_copies(block, slot):
-            ox = (block // gy) * t
-            oy = jax.lax.rem(block, jnp.int32(gy)) * y
+        def in_copies(k, slot):
+            # block_index * static_tile: provably 8-divisible dim-1 offsets.
+            ox, oy = ox_s[k] * t, oy_s[k] * y
             return [
                 pltpu.make_async_copy(
                     hbm.at[pl.ds(ox + H - 1, sxh), pl.ds(oy, syh), :],
@@ -87,9 +92,8 @@ def _make_kernel(t: int, y: int, gy: int, nb: int):
                 for n, (hbm, vmem) in enumerate(pairs)
             ]
 
-        def out_copies(block, slot):
-            ox = (block // gy) * t
-            oy = jax.lax.rem(block, jnp.int32(gy)) * y
+        def out_copies(k, slot):
+            ox, oy = ox_s[k] * t, oy_s[k] * y
             return [
                 pltpu.make_async_copy(
                     ps.at[slot, pl.ds(1, t), pl.ds(H, y), :],
@@ -106,10 +110,17 @@ def _make_kernel(t: int, y: int, gy: int, nb: int):
         @pl.when(idx == 0)
         def _():
             acc[0, 0] = jnp.float32(0.0)
-            for cp in in_copies(idx, cur):
-                cp.start()
 
-        @pl.when(idx + 1 < nb)
+            @pl.when(na == 0)
+            def _():
+                dot_smem[0, 0] = jnp.float32(0.0)
+
+            @pl.when(na > 0)
+            def _():
+                for cp in in_copies(idx, cur):
+                    cp.start()
+
+        @pl.when(idx + 1 < na)
         def _():
             # The slot we prefetch into sourced block idx-1's output DMAs.
             @pl.when(idx >= 1)
@@ -120,48 +131,54 @@ def _make_kernel(t: int, y: int, gy: int, nb: int):
             for cp in in_copies(idx + 1, nxt):
                 cp.start()
 
-        for cp in in_copies(idx, cur):
-            cp.wait()
-
-        beta = beta_smem[0, 0]
-        pp = zs[cur] + beta * ps[cur]  # p' over the haloed slab
-        c = pp[1 : 1 + t, H : H + y, :]
-        s = _neighbor_sum_slab(pp, e0s[cur], e1s[cur], e2s[cur], t, y)
-        ap = dgs[cur][1 : 1 + t, H : H + y, :] * c - s
-        acc[0, 0] = acc[0, 0] + jnp.sum(c * ap, dtype=jnp.float32)
-
-        # Reuse the consumed input slabs as output staging.
-        ps[cur, pl.ds(1, t), pl.ds(H, y), :] = c
-        zs[cur, pl.ds(1, t), pl.ds(H, y), :] = ap
-        for cp in out_copies(idx, cur):
-            cp.start()
-
-        @pl.when(idx == nb - 1)
+        @pl.when(idx < na)
         def _():
-            for cp in out_copies(idx, cur):
+            for cp in in_copies(idx, cur):
                 cp.wait()
 
-            @pl.when(idx >= 1)
+            beta = beta_smem[0, 0]
+            pp = zs[cur] + beta * ps[cur]  # p' over the haloed slab
+            c = pp[1 : 1 + t, H : H + y, :]
+            s = _neighbor_sum_slab(pp, e0s[cur], e1s[cur], e2s[cur], t, y)
+            ap = dgs[cur][1 : 1 + t, H : H + y, :] * c - s
+            acc[0, 0] = acc[0, 0] + jnp.sum(c * ap, dtype=jnp.float32)
+
+            # Reuse the consumed input slabs as output staging.
+            ps[cur, pl.ds(1, t), pl.ds(H, y), :] = c
+            zs[cur, pl.ds(1, t), pl.ds(H, y), :] = ap
+            for cp in out_copies(idx, cur):
+                cp.start()
+
+            @pl.when(idx == na - 1)
             def _():
-                for cp in out_copies(idx - 1, nxt):
+                for cp in out_copies(idx, cur):
                     cp.wait()
 
-            dot_smem[0, 0] = acc[0, 0]
+                @pl.when(idx >= 1)
+                def _():
+                    for cp in out_copies(idx - 1, nxt):
+                        cp.wait()
+
+                dot_smem[0, 0] = acc[0, 0]
 
     return kernel
 
 
-def _make_residual_kernel(t: int, y: int, gy: int, nb: int):
+def _make_residual_kernel(t: int, y: int):
     """r = b - A x in one slab pass (reference computePoissonResidual,
-    Source/HDK_GeometricMultigridOperators.h:716-732)."""
+    Source/HDK_GeometricMultigridOperators.h:716-732).  Iterates the
+    compacted active-slab list; dead slabs have r = 0 via the zero-aliased
+    output."""
     sxh, syh = t + 2, y + 2 * H
 
     def kernel(
         x_hbm, b_hbm, dg_hbm, e0_hbm, e1_hbm, e2_hbm, _zin,
+        ox_s, oy_s, na_s,
         r_hbm,
         xsl, bsl, dgs, e0s, e1s, e2s, in_sem, out_sem,
     ):
         idx = pl.program_id(0)
+        na = na_s[0]
         cur = jax.lax.rem(idx, jnp.int32(2))
         nxt = jax.lax.rem(idx + jnp.int32(1), jnp.int32(2))
 
@@ -170,9 +187,8 @@ def _make_residual_kernel(t: int, y: int, gy: int, nb: int):
             (e0_hbm, e0s), (e1_hbm, e1s), (e2_hbm, e2s),
         )
 
-        def in_copies(block, slot):
-            ox = (block // gy) * t
-            oy = jax.lax.rem(block, jnp.int32(gy)) * y
+        def in_copies(k, slot):
+            ox, oy = ox_s[k] * t, oy_s[k] * y
             return [
                 pltpu.make_async_copy(
                     hbm.at[pl.ds(ox + H - 1, sxh), pl.ds(oy, syh), :],
@@ -182,21 +198,20 @@ def _make_residual_kernel(t: int, y: int, gy: int, nb: int):
                 for n, (hbm, vmem) in enumerate(pairs)
             ]
 
-        def out_copy(block, slot):
-            ox = (block // gy) * t
-            oy = jax.lax.rem(block, jnp.int32(gy)) * y
+        def out_copy(k, slot):
+            ox, oy = ox_s[k] * t, oy_s[k] * y
             return pltpu.make_async_copy(
                 xsl.at[slot, pl.ds(1, t), pl.ds(H, y), :],
                 r_hbm.at[pl.ds(ox + H, t), pl.ds(oy + H, y), :],
                 out_sem.at[slot],
             )
 
-        @pl.when(idx == 0)
+        @pl.when((idx == 0) & (na > 0))
         def _():
             for cp in in_copies(idx, cur):
                 cp.start()
 
-        @pl.when(idx + 1 < nb)
+        @pl.when(idx + 1 < na)
         def _():
             @pl.when(idx >= 1)
             def _():
@@ -205,32 +220,35 @@ def _make_residual_kernel(t: int, y: int, gy: int, nb: int):
             for cp in in_copies(idx + 1, nxt):
                 cp.start()
 
-        for cp in in_copies(idx, cur):
-            cp.wait()
-
-        xx = xsl[cur]
-        c = xx[1 : 1 + t, H : H + y, :]
-        s = _neighbor_sum_slab(xx, e0s[cur], e1s[cur], e2s[cur], t, y)
-        r = bsl[cur][1 : 1 + t, H : H + y, :] - (
-            dgs[cur][1 : 1 + t, H : H + y, :] * c - s
-        )
-
-        xsl[cur, pl.ds(1, t), pl.ds(H, y), :] = r
-        out_copy(idx, cur).start()
-
-        @pl.when(idx == nb - 1)
+        @pl.when(idx < na)
         def _():
-            out_copy(idx, cur).wait()
+            for cp in in_copies(idx, cur):
+                cp.wait()
 
-            @pl.when(idx >= 1)
+            xx = xsl[cur]
+            c = xx[1 : 1 + t, H : H + y, :]
+            s = _neighbor_sum_slab(xx, e0s[cur], e1s[cur], e2s[cur], t, y)
+            r = bsl[cur][1 : 1 + t, H : H + y, :] - (
+                dgs[cur][1 : 1 + t, H : H + y, :] * c - s
+            )
+
+            xsl[cur, pl.ds(1, t), pl.ds(H, y), :] = r
+            out_copy(idx, cur).start()
+
+            @pl.when(idx == na - 1)
             def _():
-                out_copy(idx - 1, nxt).wait()
+                out_copy(idx, cur).wait()
+
+                @pl.when(idx >= 1)
+                def _():
+                    out_copy(idx - 1, nxt).wait()
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_t", "block_y", "interpret")
+    jax.jit,
+    static_argnames=("block_t", "block_y", "interpret", "plan_itemsize"),
 )
 def fused_residual(
     x: jax.Array,
@@ -242,22 +260,38 @@ def fused_residual(
     block_t: int = 16,
     block_y: int = 48,
     interpret: bool = False,
+    blocks: tuple | None = None,
+    plan_itemsize: int | None = None,
 ) -> jax.Array:
     """r = b - A x via one double-buffered slab pass.
 
     The residual is zero at non-solvable cells automatically (zero diag and
     edge weights with fields zero outside the solvable set), matching
-    ops.stencil.residual's masking.
+    ops.stencil.residual's masking.  `blocks` is the compacted active-slab
+    list (see pallas_smoother.solvable_block_list); `plan_itemsize` is the
+    edge-weight itemsize the block list's tiling was planned with (defaults
+    to this call's ew dtype) -- callers sharing a list across kernels must
+    pass the planning itemsize so tilings agree.
     """
     nx, ny, nz = x.shape
     rx, ry = nx - 2 * H, ny - 2 * H
-    tb = _pick_tile(rx, block_t)
-    yb = _pick_tile(ry, block_y)
-    gy = ry // yb
-    nb = (rx // tb) * gy
+    if plan_itemsize is None:
+        plan_itemsize = ew0.dtype.itemsize
+    tb, yb = plan_tiles(x.shape, plan_itemsize, block_t, block_y)
+    nb = (rx // tb) * (ry // yb)
     sxh, syh = tb + 2, yb + 2 * H
 
-    kernel = _make_residual_kernel(tb, yb, gy, nb)
+    if blocks is None:
+        ox_l, oy_l, na = _dense_block_list(rx, ry, tb, yb)
+    else:
+        ox_l, oy_l, na = blocks
+        if ox_l.shape != (nb,):
+            raise ValueError(
+                f"block list built for {ox_l.shape[0]} blocks, kernel has {nb}"
+            )
+    na = jnp.asarray(na, jnp.int32).reshape(1)
+
+    kernel = _make_residual_kernel(tb, yb)
     fdt = x.dtype
     edt = ew0.dtype
     slab = lambda dt: pltpu.VMEM((2, sxh, syh, nz), dt)  # noqa: E731
@@ -269,7 +303,8 @@ def fused_residual(
         kernel,
         grid=(nb,),
         out_shape=jax.ShapeDtypeStruct(x.shape, fdt),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             slab(fdt), slab(fdt), slab(fdt), slab(edt), slab(edt), slab(edt),
@@ -281,11 +316,12 @@ def fused_residual(
             vmem_limit_bytes=min(vmem_bytes, 120 << 20),
         ),
         interpret=interpret,
-    )(x, b, diag, ew0, ew1, ew2, jnp.zeros_like(x))
+    )(x, b, diag, ew0, ew1, ew2, jnp.zeros_like(x), ox_l, oy_l, na)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_t", "block_y", "interpret")
+    jax.jit,
+    static_argnames=("block_t", "block_y", "interpret", "plan_itemsize"),
 )
 def fused_search_matvec_dot(
     z: jax.Array,
@@ -298,22 +334,35 @@ def fused_search_matvec_dot(
     block_t: int = 16,
     block_y: int = 48,
     interpret: bool = False,
+    blocks: tuple | None = None,
+    plan_itemsize: int | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (p_new, A @ p_new, <p_new, A @ p_new>) in one fused pass.
 
     Preconditions as ops.pallas_smoother.eligible: solvable cells confined
     to [H, n-H) in dims 0/1, lane dim a multiple of 128.  `beta` is a
-    traced scalar.
+    traced scalar.  `blocks`/`plan_itemsize` as in `fused_residual`; the
+    skipped slabs contribute exactly zero to the dot.
     """
     nx, ny, nz = z.shape
     rx, ry = nx - 2 * H, ny - 2 * H
-    tb = _pick_tile(rx, block_t)
-    yb = _pick_tile(ry, block_y)
-    gx, gy = rx // tb, ry // yb
-    nb = gx * gy
+    if plan_itemsize is None:
+        plan_itemsize = ew0.dtype.itemsize
+    tb, yb = plan_tiles(z.shape, plan_itemsize, block_t, block_y)
+    nb = (rx // tb) * (ry // yb)
     sxh, syh = tb + 2, yb + 2 * H
 
-    kernel = _make_kernel(tb, yb, gy, nb)
+    if blocks is None:
+        ox_l, oy_l, na = _dense_block_list(rx, ry, tb, yb)
+    else:
+        ox_l, oy_l, na = blocks
+        if ox_l.shape != (nb,):
+            raise ValueError(
+                f"block list built for {ox_l.shape[0]} blocks, kernel has {nb}"
+            )
+    na = jnp.asarray(na, jnp.int32).reshape(1)
+
+    kernel = _make_kernel(tb, yb)
     fdt = z.dtype
     slab = lambda dt: pltpu.VMEM((2, sxh, syh, nz), dt)  # noqa: E731
 
@@ -335,7 +384,8 @@ def fused_search_matvec_dot(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -352,4 +402,5 @@ def fused_search_matvec_dot(
             vmem_limit_bytes=min(vmem_bytes, 120 << 20),
         ),
         interpret=interpret,
-    )(z, p, diag, ew0, ew1, ew2, beta_arr, zin, jnp.zeros_like(z))
+    )(z, p, diag, ew0, ew1, ew2, beta_arr, zin, jnp.zeros_like(z),
+      ox_l, oy_l, na)

@@ -66,6 +66,72 @@ def schedule_for(config, forward: bool) -> tuple[str, ...]:
     return bnd + interior + bnd
 
 
+def plan_tiles(
+    shape, ew_itemsize: int, block_t: int, block_y: int
+) -> tuple[int, int]:
+    """Resolve the (tb, yb) slab tiling for a level: largest requested tiles
+    that divide the interior extents AND fit the smoother's VMEM budget.
+
+    This is the single source of truth for kernel geometry -- the smoother,
+    the residual kernel, the CG-step kernel, and the block-occupancy lists
+    all derive their tiling from it (the smoother's (t+2H, y+2H) slab is
+    strictly the largest, so a tiling that fits it fits the others).
+    """
+    nx, ny, nz = shape
+    rx, ry = nx - 2 * H, ny - 2 * H
+    tb = _pick_tile(rx, block_t)
+    yb = _pick_tile(ry, block_y)
+    while _vmem_estimate(tb + 2 * H, yb + 2 * H, nz, ew_itemsize) > (100 << 20):
+        if yb > 8:
+            yb = _pick_tile(ry, yb - 8)
+        elif tb > 8:
+            tb = _pick_tile(rx, tb - 8)
+        else:
+            break
+    return tb, yb
+
+
+def solvable_block_list(
+    solvable: jax.Array, tb: int, yb: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Compacted active-slab list for the fused kernels.
+
+    Returns (bx, by, n_active): int32 BLOCK indices of the (tb, yb, full-z)
+    output slabs that contain at least one solvable cell, in block-index
+    order, padded to the full block count (padding entries are never
+    streamed).  Block indices (not cell offsets) so the kernels can form
+    offsets as `index * tile` -- Mosaic then proves the sublane-alignment
+    of the DMA slices statically.  This is the kernel-level equivalent of
+    the reference's constant-tile skip
+    (Source/HDK_GeometricMultigridOperators.h:1646-1769 + the
+    tile-occupancy checks in every operator loop): slabs with no solvable
+    cell produce identically-zero output, so the kernels skip their DMA
+    and compute entirely and let the zero-aliased output supply the
+    result.
+    """
+    nx, ny, _ = solvable.shape
+    rx, ry = nx - 2 * H, ny - 2 * H
+    gx, gy = rx // tb, ry // yb
+    nb = gx * gy
+    core = solvable[H : H + rx, H : H + ry, :]
+    occ = core.reshape(gx, tb, gy, yb, -1).any(axis=(1, 3, 4)).reshape(-1)
+    n_active = occ.sum(dtype=jnp.int32)
+    # Order-preserving compaction: active block i lands at slot rank(i).
+    pos = jnp.where(occ, jnp.cumsum(occ, dtype=jnp.int32) - 1, jnp.int32(nb))
+    bi = jnp.arange(nb, dtype=jnp.int32)
+    bx = jnp.zeros(nb, jnp.int32).at[pos].set(bi // gy, mode="drop")
+    by = jnp.zeros(nb, jnp.int32).at[pos].set(bi % gy, mode="drop")
+    return bx, by, n_active
+
+
+def _dense_block_list(rx: int, ry: int, tb: int, yb: int):
+    """All-blocks-active list (the no-skip fallback); block indices."""
+    gy = ry // yb
+    nb = (rx // tb) * gy
+    bi = jnp.arange(nb, dtype=jnp.int32)
+    return bi // gy, bi % gy, jnp.int32(nb)
+
+
 def _pick_tile(r: int, t_max: int, quantum: int = 8) -> int:
     """Largest multiple of `quantum` <= max(t_max, quantum) dividing r.
 
@@ -132,17 +198,17 @@ def _neighbor_shift(x, axis: int, up: bool):
     return jnp.concatenate([z, x[tuple(sl)]], axis=axis)
 
 
-def _make_kernel(
-    schedule: tuple[str, ...], damping: float, t: int, y: int, gy: int,
-    nb: int, emit_dot: bool
-):
+def _make_kernel(schedule: tuple[str, ...], damping: float, t: int, y: int,
+                 emit_dot: bool):
     """Kernel factory; all geometry is static.
 
-    1-D grid over nb = gx * gy blocks with two slab slots: while block k is
-    computed, block k+1's seven input slabs stream in (double buffering) --
-    the kernel is DMA-bound (measured ~3.4 ms DMA vs ~2.8 ms compute for the
-    default 8-pass schedule at 256^3), so the overlap hides most of the
-    compute.
+    1-D grid with two slab slots: while active block k is computed, block
+    k+1's seven input slabs stream in (double buffering) -- the kernel is
+    DMA-bound, so the overlap hides most of the compute.  The grid covers
+    the FULL block count, but programs only touch the first n_active
+    entries of the compacted (ox, oy) list; trailing programs are empty
+    (dead slabs cost neither DMA nor compute -- the zero-aliased output
+    already holds their all-zero result).
     """
     assert len(schedule) <= H and all(k in _KINDS for k in schedule)
     w = damping
@@ -150,22 +216,24 @@ def _make_kernel(
 
     def kernel(
         x_hbm, b_hbm, id_hbm, e0_hbm, e1_hbm, e2_hbm, band_hbm, _zin_hbm,
-        out_hbm, *tail,
+        ox_s, oy_s, na_s, out_hbm, *tail,
     ):
         if emit_dot:
             dot_smem, xs, bs, ids, e0s, e1s, e2s, bands, in_sem, out_sem, acc = tail
         else:
             xs, bs, ids, e0s, e1s, e2s, bands, in_sem, out_sem = tail
         idx = pl.program_id(0)
+        na = na_s[0]
         cur = jax.lax.rem(idx, jnp.int32(2))
         nxt = jax.lax.rem(idx + jnp.int32(1), jnp.int32(2))
 
         hbms = (x_hbm, b_hbm, id_hbm, e0_hbm, e1_hbm, e2_hbm, band_hbm)
         slabs = (xs, bs, ids, e0s, e1s, e2s, bands)
 
-        def in_copies(block, slot):
-            ox = (block // gy) * t
-            oy = jax.lax.rem(block, jnp.int32(gy)) * y
+        def in_copies(k, slot):
+            # Offsets formed as block_index * static_tile so Mosaic can
+            # prove the 8-divisibility of the dim-1 (sublane) DMA offset.
+            ox, oy = ox_s[k] * t, oy_s[k] * y
             return [
                 pltpu.make_async_copy(
                     hbm.at[pl.ds(ox, sx), pl.ds(oy, sy), :],
@@ -175,9 +243,8 @@ def _make_kernel(
                 for n, (hbm, vmem) in enumerate(zip(hbms, slabs))
             ]
 
-        def out_copy(block, slot):
-            ox = (block // gy) * t
-            oy = jax.lax.rem(block, jnp.int32(gy)) * y
+        def out_copy(k, slot):
+            ox, oy = ox_s[k] * t, oy_s[k] * y
             return pltpu.make_async_copy(
                 xs.at[slot, pl.ds(H, t), pl.ds(H, y), :],
                 out_hbm.at[pl.ds(ox + H, t), pl.ds(oy + H, y), :],
@@ -188,10 +255,19 @@ def _make_kernel(
         def _():
             if emit_dot:
                 acc[0, 0] = jnp.float32(0.0)
-            for cp in in_copies(idx, cur):
-                cp.start()
 
-        @pl.when(idx + 1 < nb)
+                # With no active blocks the final-program branch below never
+                # fires; the dot output must still be defined.
+                @pl.when(na == 0)
+                def _():
+                    dot_smem[0, 0] = jnp.float32(0.0)
+
+            @pl.when(na > 0)
+            def _():
+                for cp in in_copies(idx, cur):
+                    cp.start()
+
+        @pl.when(idx + 1 < na)
         def _():
             # The slot we prefetch into sourced block idx-1's output DMA;
             # its x slab must be fully drained before being overwritten.
@@ -202,67 +278,73 @@ def _make_kernel(
             for cp in in_copies(idx + 1, nxt):
                 cp.start()
 
-        for cp in in_copies(idx, cur):
-            cp.wait()
-
-        x = xs[cur]
-        b = bs[cur]
-        invd = ids[cur]
-        e0, e1, e2 = e0s[cur], e1s[cur], e2s[cur]
-        # int8 vector compares are unsupported on TPU; blend arithmetically.
-        band_f = bands[cur].astype(x.dtype)
-
-        # Checkerboard parity: global parity == local parity because the
-        # slab origin (ox, oy, 0) has even coordinate sum (t, y even).
-        ii = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        kk = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
-        red = ((ii + jj + kk) % 2) == 0
-
-        dt = x.dtype.type
-
-        def neighbor_sum(v):
-            s = e0 * _neighbor_shift(v, 0, True) + _neighbor_shift(e0 * v, 0, False)
-            s += e1 * _neighbor_shift(v, 1, True) + _neighbor_shift(e1 * v, 1, False)
-            s += e2 * _neighbor_shift(v, 2, True) + _neighbor_shift(e2 * v, 2, False)
-            return s
-
-        for kind in schedule:
-            s = neighbor_sum(x)
-            if kind == "j":
-                x = dt(1 - w) * x + dt(w) * invd * (b + s)
-            elif kind == "b":
-                upd = dt(1 - w) * x + dt(w) * invd * (b + s)
-                x = x + band_f * (upd - x)
-            else:  # 'r' / 'k': undamped GS half-sweep on one color
-                upd = invd * (b + s)
-                mask = red if kind == "r" else jnp.logical_not(red)
-                x = jnp.where(mask, upd, x)
-
-        if emit_dot:
-            # <x_out, b> partials over the central region, accumulated in a
-            # fixed (sequential) order: fuses the CG rho = <r, z> reduction
-            # into the preconditioner's final smoother pass (z := x_out,
-            # r := this level's rhs).
-            acc[0, 0] = acc[0, 0] + jnp.sum(
-                x[H : H + t, H : H + y, :] * b[H : H + t, H : H + y, :],
-                dtype=jnp.float32,
-            )
-
-        xs[cur] = x
-        out_copy(idx, cur).start()
-
-        @pl.when(idx == nb - 1)
+        @pl.when(idx < na)
         def _():
-            out_copy(idx, cur).wait()
-            # Drain the previous block's output too (its wait normally
-            # happens in the NEXT step's prefetch, which won't run).
-            @pl.when(idx >= 1)
-            def _():
-                out_copy(idx - 1, nxt).wait()
+            for cp in in_copies(idx, cur):
+                cp.wait()
+
+            x = xs[cur]
+            b = bs[cur]
+            invd = ids[cur]
+            e0, e1, e2 = e0s[cur], e1s[cur], e2s[cur]
+            # int8 vector compares are unsupported on TPU; blend
+            # arithmetically.
+            band_f = bands[cur].astype(x.dtype)
+
+            # Checkerboard parity: global parity == local parity because
+            # the slab origin (ox, oy, 0) has even coordinate sum (t, y
+            # even).
+            ii = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            kk = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+            red = ((ii + jj + kk) % 2) == 0
+
+            dt = x.dtype.type
+
+            def neighbor_sum(v):
+                s = e0 * _neighbor_shift(v, 0, True) + _neighbor_shift(e0 * v, 0, False)
+                s += e1 * _neighbor_shift(v, 1, True) + _neighbor_shift(e1 * v, 1, False)
+                s += e2 * _neighbor_shift(v, 2, True) + _neighbor_shift(e2 * v, 2, False)
+                return s
+
+            for kind in schedule:
+                s = neighbor_sum(x)
+                if kind == "j":
+                    x = dt(1 - w) * x + dt(w) * invd * (b + s)
+                elif kind == "b":
+                    upd = dt(1 - w) * x + dt(w) * invd * (b + s)
+                    x = x + band_f * (upd - x)
+                else:  # 'r' / 'k': undamped GS half-sweep on one color
+                    upd = invd * (b + s)
+                    mask = red if kind == "r" else jnp.logical_not(red)
+                    x = jnp.where(mask, upd, x)
 
             if emit_dot:
-                dot_smem[0, 0] = acc[0, 0]
+                # <x_out, b> partials over the central region, accumulated
+                # in a fixed (sequential) order: fuses the CG rho = <r, z>
+                # reduction into the preconditioner's final smoother pass
+                # (z := x_out, r := this level's rhs).  Dead slabs
+                # contribute exactly zero, so skipping them keeps the dot
+                # equal to the reference's masked reduction.
+                acc[0, 0] = acc[0, 0] + jnp.sum(
+                    x[H : H + t, H : H + y, :] * b[H : H + t, H : H + y, :],
+                    dtype=jnp.float32,
+                )
+
+            xs[cur] = x
+            out_copy(idx, cur).start()
+
+            @pl.when(idx == na - 1)
+            def _():
+                out_copy(idx, cur).wait()
+                # Drain the previous block's output too (its wait normally
+                # happens in the NEXT step's prefetch, which won't run).
+                @pl.when(idx >= 1)
+                def _():
+                    out_copy(idx - 1, nxt).wait()
+
+                if emit_dot:
+                    dot_smem[0, 0] = acc[0, 0]
 
     return kernel
 
@@ -285,10 +367,16 @@ def fused_smooth(
     block_y: int = 64,
     interpret: bool = False,
     emit_dot: bool = False,
+    blocks: tuple[jax.Array, jax.Array, jax.Array] | None = None,
 ):
     """Apply the fused pass stack; returns the updated solution grid (and,
     with `emit_dot`, the scalar <x_out, b> -- the CG rho when this is the
     preconditioner's final fine-level pass).
+
+    `blocks` is an optional compacted active-slab list from
+    `solvable_block_list(solvable, *plan_tiles(...))`; slabs not on the
+    list are skipped entirely (no DMA, no compute -- their output is zero
+    by the aliasing invariant).  Without it, every slab runs.
 
     Preconditions (checked by `eligible`): dims 0/1 tile into (block_t, Y)
     slabs after removing the H-cell shells, no solvable cells in those
@@ -298,22 +386,22 @@ def fused_smooth(
     rx, ry = nx - 2 * H, ny - 2 * H
     fdt = x.dtype
     edt = ew0.dtype  # possibly narrower (config.mg_ew_dtype)
-    tb = _pick_tile(rx, block_t)
-    yb = _pick_tile(ry, block_y)
-    # Shrink the slab until it fits the VMEM budget (eligible() guarantees
-    # the minimal (8, 8) slab fits).
-    while _vmem_estimate(tb + 2 * H, yb + 2 * H, nz, edt.itemsize) > (100 << 20):
-        if yb > 8:
-            yb = _pick_tile(ry, yb - 8)
-        elif tb > 8:
-            tb = _pick_tile(rx, tb - 8)
-        else:
-            break
+    tb, yb = plan_tiles(x.shape, edt.itemsize, block_t, block_y)
     gx, gy = rx // tb, ry // yb
     nb = gx * gy
     sx, sy = tb + 2 * H, yb + 2 * H
 
-    kernel = _make_kernel(schedule, damping, tb, yb, gy, nb, emit_dot)
+    if blocks is None:
+        ox_l, oy_l, na = _dense_block_list(rx, ry, tb, yb)
+    else:
+        ox_l, oy_l, na = blocks
+        if ox_l.shape != (nb,):
+            raise ValueError(
+                f"block list built for {ox_l.shape[0]} blocks, kernel has {nb}"
+            )
+    na = jnp.asarray(na, jnp.int32).reshape(1)
+
+    kernel = _make_kernel(schedule, damping, tb, yb, emit_dot)
     slab = lambda dt: pltpu.VMEM((2, sx, sy, nz), dt)  # noqa: E731
 
     zin = jnp.zeros_like(x)
@@ -336,7 +424,8 @@ def fused_smooth(
         kernel,
         grid=(nb,),
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 8,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 8
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
         out_specs=out_specs,
         scratch_shapes=scratch,
         input_output_aliases={7: 0},  # zero-filled shells
@@ -344,11 +433,26 @@ def fused_smooth(
             vmem_limit_bytes=min(vmem_bytes, 120 << 20),
         ),
         interpret=interpret,
-    )(x, b, inv_diag, ew0, ew1, ew2, band_i8, zin)
+    )(x, b, inv_diag, ew0, ew1, ew2, band_i8, zin, ox_l, oy_l, na)
+
+
+def level_blocks(coeffs, config):
+    """The level's compacted active-slab list under `config`'s tiling.
+
+    Derived from the solvable mask each call; inside a jitted CG loop XLA's
+    loop-invariant code motion hoists it (the mask is loop-invariant), so
+    the per-iteration cost is nil.
+    """
+    tb, yb = plan_tiles(
+        coeffs.solvable.shape, coeffs.ew0.dtype.itemsize,
+        config.pallas_block_t, config.pallas_block_y,
+    )
+    return solvable_block_list(coeffs.solvable, tb, yb)
 
 
 def smooth_level_pallas(
-    x, b, coeffs, config, forward: bool, interpret=False, emit_dot=False
+    x, b, coeffs, config, forward: bool, interpret=False, emit_dot=False,
+    blocks=None,
 ):
     """Drop-in replacement for solver.mg._smooth_level via fused kernels.
 
@@ -358,6 +462,8 @@ def smooth_level_pallas(
     """
     schedule = schedule_for(config, forward)
     band_i8 = coeffs.band.astype(jnp.int8)
+    if blocks is None:
+        blocks = level_blocks(coeffs, config)
     starts = list(range(0, len(schedule), H))
     dot = None
     for start in starts:
@@ -367,7 +473,7 @@ def smooth_level_pallas(
             x, b, coeffs.inv_diag, coeffs.ew0, coeffs.ew1, coeffs.ew2,
             band_i8, chunk, config.jacobi_damping,
             block_t=config.pallas_block_t, block_y=config.pallas_block_y,
-            interpret=interpret, emit_dot=emit_dot and last,
+            interpret=interpret, emit_dot=emit_dot and last, blocks=blocks,
         )
         x, dot = out if (emit_dot and last) else (out, dot)
     if emit_dot:

@@ -260,6 +260,7 @@ def _smooth_level(
     use_pallas=False,
     emit_dot: bool = False,
     mesh=None,
+    blocks=None,
 ):
     """boundary^k ; interior ; boundary^k smoothing block.
 
@@ -295,7 +296,7 @@ def _smooth_level(
         from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
 
         return pallas_smoother.smooth_level_pallas(
-            x, b, c, config, forward, emit_dot=emit_dot
+            x, b, c, config, forward, emit_dot=emit_dot, blocks=blocks
         )
     for _ in range(config.boundary_iterations):
         x = stencil.boundary_jacobi(x, b, c, config.jacobi_damping)
@@ -381,6 +382,25 @@ def _pallas_level_flags(
     )
 
 
+def hierarchy_block_lists(hier: MGHierarchy, config: SolverConfig, mesh=None):
+    """Per-level compacted active-slab lists for the fused kernels.
+
+    Entry i is None unless level i runs the single-device fused path.  The
+    lists are cheap device reductions over each level's solvable mask --
+    callers running a CG loop should compute them ONCE outside the loop
+    and pass them to `v_cycle` so they are loop-invariant by construction
+    (the kernel-level analogue of the reference building tile occupancy
+    once per solve, Source/HDK_Utilities.h:54-136).
+    """
+    from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
+
+    flags = _pallas_level_flags(hier, config, mesh)
+    return tuple(
+        pallas_smoother.level_blocks(c, config) if flag is True else None
+        for c, flag in zip(hier.levels, flags)
+    )
+
+
 def v_cycle(
     hier: MGHierarchy,
     x: jax.Array,
@@ -389,6 +409,7 @@ def v_cycle(
     use_initial_guess: bool = False,
     emit_fine_dot: bool = False,
     mesh=None,
+    block_lists=None,
 ):
     """One V(1,1) multigrid cycle; returns the updated solution grid.
 
@@ -401,6 +422,8 @@ def v_cycle(
     x = x.astype(dtype)
     b = b.astype(dtype)
     pallas_ok = _pallas_level_flags(hier, config, mesh)
+    if block_lists is None:
+        block_lists = hierarchy_block_lists(hier, config, mesh)
     if _use_mm_transfers(config):
         restrict, prolong_add = transfer.restrict_mm, transfer.prolong_add_mm
     else:
@@ -414,6 +437,7 @@ def v_cycle(
         return _smooth_level(
             x, b, hier.levels[0], config, forward=True,
             use_pallas=pallas_ok[0], emit_dot=emit_fine_dot, mesh=mesh,
+            blocks=block_lists[0],
         )
 
     # Downstroke.
@@ -424,7 +448,7 @@ def v_cycle(
         xl = x if level == 0 else jnp.zeros(c.shape, dtype=dtype)
         xl = _smooth_level(
             xl, rhs[level], c, config, forward=True,
-            use_pallas=pallas_ok[level], mesh=mesh,
+            use_pallas=pallas_ok[level], mesh=mesh, blocks=block_lists[level],
         )
         sols[level] = xl
         if pallas_ok[level] is True:
@@ -433,6 +457,8 @@ def v_cycle(
             r = pallas_cg.fused_residual(
                 xl, rhs[level], c.diag, c.ew0, c.ew1, c.ew2,
                 block_t=config.pallas_block_t, block_y=config.pallas_block_y,
+                blocks=block_lists[level],
+                plan_itemsize=c.ew0.dtype.itemsize,
             )
         else:
             r = stencil.residual(xl, rhs[level], c)
@@ -449,6 +475,7 @@ def v_cycle(
             xl, rhs[level], c, config, forward=False,
             use_pallas=pallas_ok[level],
             emit_dot=emit_fine_dot and level == 0, mesh=mesh,
+            blocks=block_lists[level],
         )
         sols[level] = xl
 

@@ -70,6 +70,10 @@ def _solve(
     def apply_a(x):
         return stencil.apply_poisson(x, fine)
 
+    # Active-slab lists for the fused kernels, computed ONCE here (outside
+    # the CG while-loop) so they are loop-invariant inputs of the loop body.
+    block_lists = mg_mod.hierarchy_block_lists(problem.hier, config, mesh)
+
     if config.use_mg_preconditioner:
         def preconditioner(r):
             z = mg_mod.v_cycle(
@@ -79,6 +83,7 @@ def _solve(
                 config,
                 use_initial_guess=False,
                 mesh=mesh,
+                block_lists=block_lists,
             )
             return z.astype(solve_dtype)
     else:
@@ -94,11 +99,18 @@ def _solve(
     )
     if use_fused:
         from geometricmultigridpressuresolver_tpu.ops import pallas_cg
+        from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
+
+        # The CG operator's own active-slab list (fine may differ from
+        # hier.levels[0] in dtype; identical expressions CSE either way).
+        fine_blocks = pallas_smoother.level_blocks(fine, config)
 
         def step_p(z, p, beta):
             return pallas_cg.fused_search_matvec_dot(
                 z, p, beta, fine.diag, fine.ew0, fine.ew1, fine.ew2,
                 block_t=config.pallas_block_t, block_y=config.pallas_block_y,
+                blocks=fine_blocks,
+                plan_itemsize=fine.ew0.dtype.itemsize,
             )
 
         preconditioner_dot = None
@@ -112,6 +124,7 @@ def _solve(
                     use_initial_guess=False,
                     emit_fine_dot=True,
                     mesh=mesh,
+                    block_lists=block_lists,
                 )
                 return z.astype(solve_dtype), rho
 

@@ -124,3 +124,58 @@ def test_fused_residual_matches_jnp(fixture32):
         x, b, c.diag, c.ew0, c.ew1, c.ew2, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_block_occupancy_skipping(fixture32):
+    """Dead (no-solvable) slabs are skipped exactly: the compacted-list
+    kernels agree with the dense-list kernels and the jnp operators.
+
+    The sine-Dirichlet domain leaves whole x-slabs without solvable cells,
+    so the compacted list is genuinely shorter than the block count."""
+    from geometricmultigridpressuresolver_tpu.ops import blas, pallas_cg, stencil
+
+    hier, c, x, b = fixture32
+    config = SolverConfig(solve_dtype=jnp.float32)
+    tb, yb = pallas_smoother.plan_tiles(
+        c.shape, c.ew0.dtype.itemsize,
+        config.pallas_block_t, config.pallas_block_y,
+    )
+    ox, oy, na = pallas_smoother.solvable_block_list(c.solvable, tb, yb)
+    nb = ox.shape[0]
+    assert int(na) < nb, "fixture should contain dead slabs"
+    assert int(na) > 0
+
+    # Every solvable cell is covered by a listed slab.
+    H = pallas_smoother.H
+    covered = np.zeros(c.shape, dtype=bool)
+    for k in range(int(na)):
+        o_x, o_y = int(ox[k]) * tb, int(oy[k]) * yb
+        covered[H + o_x : H + o_x + tb, H + o_y : H + o_y + yb, :] = True
+    assert (covered | ~np.asarray(c.solvable)).all()
+
+    blocks = (ox, oy, na)
+    # Smoother: compacted == dense == jnp.
+    ref = mg_mod._smooth_level(x, b, c, config, forward=True)
+    got = pallas_smoother.smooth_level_pallas(
+        x, b, c, config, forward=True, interpret=True, blocks=blocks
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+    # Residual kernel with the same list.
+    r_ref = stencil.residual(x, b, c)
+    r_got = pallas_cg.fused_residual(
+        x, b, c.diag, c.ew0, c.ew1, c.ew2, interpret=True, blocks=blocks
+    )
+    np.testing.assert_allclose(np.asarray(r_got), np.asarray(r_ref), atol=2e-5)
+
+    # CG-step kernel: outputs and the dot (dead slabs contribute zero).
+    beta = jnp.float32(0.31)
+    p_ref = x + beta * b
+    ap_ref = jnp.where(c.solvable, stencil.apply_poisson(p_ref, c), 0.0)
+    pap_ref = float(blas.dot(p_ref, ap_ref, c.solvable))
+    pn, ap, pap = pallas_cg.fused_search_matvec_dot(
+        x, b, beta, c.diag, c.ew0, c.ew1, c.ew2, interpret=True, blocks=blocks
+    )
+    np.testing.assert_allclose(np.asarray(pn), np.asarray(p_ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(ap), np.asarray(ap_ref), atol=2e-5)
+    np.testing.assert_allclose(float(pap[0, 0]), pap_ref, rtol=1e-5)

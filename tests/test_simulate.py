@@ -7,6 +7,39 @@ from geometricmultigridpressuresolver_tpu.config import SolverConfig
 from geometricmultigridpressuresolver_tpu.models import sdf, simulate
 
 
+def test_advect_velocity_dt0_is_identity():
+    # Regression for the half-cell shift: with dt=0 the backtrace lands
+    # exactly on each face, so advection must return the field unchanged
+    # (up to interpolation-free exactness).
+    rng = np.random.default_rng(7)
+    n = 12
+    velocity = tuple(
+        jnp.asarray(
+            rng.standard_normal(tuple(n + (1 if a == ax else 0) for a in range(3)))
+        )
+        for ax in range(3)
+    )
+    out = simulate.advect_velocity(velocity, dt=0.0, dx=1.0 / n)
+    for ax in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out[ax]), np.asarray(velocity[ax]), atol=1e-12
+        )
+
+
+def test_advect_scalar_dt0_is_identity():
+    rng = np.random.default_rng(8)
+    n = 10
+    field = jnp.asarray(rng.standard_normal((n, n, n)))
+    velocity = tuple(
+        jnp.asarray(
+            rng.standard_normal(tuple(n + (1 if a == ax else 0) for a in range(3)))
+        )
+        for ax in range(3)
+    )
+    out = simulate.advect_scalar(field, velocity, dt=0.0, dx=1.0 / n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(field), atol=1e-12)
+
+
 def test_multiframe_splash_stays_divergence_free():
     n = 24
     config = SolverConfig(tolerance=1e-6, max_iterations=300)
