@@ -58,6 +58,15 @@ def main() -> None:
         mg_ew_dtype=jnp.bfloat16,
         tolerance=tol,
         max_iterations=200,
+        # Kernel slab-tiling overrides for perf sweeps (0 = config default).
+        **{
+            k: v
+            for k, v in {
+                "pallas_block_t": int(os.environ.get("BENCH_BT", "0")),
+                "pallas_block_y": int(os.environ.get("BENCH_BY", "0")),
+            }.items()
+            if v
+        },
     )
 
     t0 = time.time()

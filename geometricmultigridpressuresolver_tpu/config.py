@@ -96,7 +96,12 @@ class SolverConfig:
     # geometry preconditions, jnp stencils elsewhere; "jnp" forces the
     # reference-shaped XLA path; "pallas" fails loudly if ineligible.
     kernel_mode: str = "auto"
-    pallas_block_t: int = 16
+    # Run the Pallas kernels under the interpreter (CPU-executable; used
+    # with kernel_mode="pallas" to validate the kernel paths -- including
+    # the sharded shard_map+halo path -- on virtual device meshes without
+    # TPU hardware, e.g. the driver's multichip dryrun).
+    pallas_interpret: bool = False
+    pallas_block_t: int = 32
     pallas_block_y: int = 48
     # Storage dtype of the V-cycle's off-diagonal edge weights (None keeps
     # the mg dtype).  bfloat16 halves the largest coefficient arrays' HBM

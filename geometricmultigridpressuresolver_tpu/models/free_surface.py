@@ -432,6 +432,11 @@ def build_setup(
             expanded_shape[1] + config.window_slack * padding,
             expanded_shape[2],
         )
+        if config.compact_domain:
+            # Re-align so the kernel tiling properties survive the slack.
+            expanded_shape = domain_ops.align_tile_extents(
+                expanded_shape, padding
+            )
 
     # Static per-axis base padding: at least `padding`, and enough that the
     # window always fits (padded >= expanded per axis).

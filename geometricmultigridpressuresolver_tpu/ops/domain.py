@@ -201,15 +201,35 @@ def compact_expansion_params(
     expanded = [
         ((e + 2 * padding + padding - 1) // padding) * padding for e in extents
     ]
-    # TPU lane alignment: pad the last axis to a multiple of 128 for large
-    # grids.  fp32 arrays are physically tiled (8, 128) in HBM, so the tail
-    # tile is allocated either way -- making it logical unlocks Mosaic DMA
-    # slicing (the fused Pallas smoother requires 128-aligned lane slices)
-    # at no memory cost.  Skipped for small grids where the growth would be
-    # large relative to the domain.
-    if align_lanes and extents[2] + 2 * padding >= 160:
-        expanded[2] = ((expanded[2] + 127) // 128) * 128
+    if align_lanes:
+        expanded = list(align_tile_extents(expanded, padding))
     return mg_levels, padding, tuple(bbox), tuple(expanded)
+
+
+def align_tile_extents(expanded, padding: int):
+    """Round window extents up for the fused TPU kernels' tiling.
+
+    * Last (lane) axis: multiple of 128 when the extent is >= 96.  Mosaic
+      DMA slices must be 128-aligned along lanes (the fused kernels stream
+      full-z slabs), and fp32 arrays are physically (8, 128)-tiled in HBM
+      anyway -- the tail tile is allocated either way.  Below 96 the
+      logical growth (up to 4/3x cells, all streamed since slabs span full
+      z) outweighs the kernel win and the jnp path serves.
+    Dims 0/1 deliberately stay MINIMAL: measured at 256^3, inflating them
+    to unlock larger slab tiles (halo amplification 2.67 -> 2.0) costs
+    more in the non-skipped full-window passes (outer-CG elementwise
+    updates, reductions, transfers) than the fused kernels win back --
+    every extra cell is streamed by those passes even though the
+    occupancy-compacted kernels skip it.
+
+    Idempotent; preserves the multiple-of-`padding` invariant the
+    coarsening needs (the adjustments are multiples of 128 >= any
+    practical padding).
+    """
+    out = list(expanded)
+    if out[2] >= 96:
+        out[2] = ((out[2] + 127) // 128) * 128
+    return tuple(out)
 
 
 def expand_face_weights(

@@ -72,6 +72,51 @@ def sharded_eligible(shape, spec: PartitionSpec, mesh, level, num_levels) -> boo
     return True
 
 
+def _sharded_axes_for(mesh, spec):
+    return tuple(
+        (axis, spec[axis], mesh.shape[spec[axis]])
+        for axis in range(3)
+        if spec[axis] is not None and mesh.shape[spec[axis]] > 1
+    )
+
+
+def prehalo_coeffs(coeffs, mesh):
+    """Exchange the five constant coefficient halos ONCE per solve.
+
+    The smoother coefficients (inv_diag, ew0..2, band) never change during
+    a solve, yet the naive path re-exchanged them on every smoother call --
+    5/7 of the per-call ICI traffic for constant data.  This returns the
+    coefficient blocks pre-grown by the H-cell halo along every sharded
+    mesh axis (as global sharded arrays whose per-device blocks are the
+    haloed blocks); `smooth_level_sharded` then only exchanges the rhs
+    (once per call) and the evolving solution (once per kernel chunk).
+
+    Returns None for fully-replicated levels (no sharded axes).
+    """
+    spec = _level_spec(mesh, coeffs.shape)
+    sharded_axes = _sharded_axes_for(mesh, spec)
+    if not sharded_axes:
+        return None
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec,) * 5,
+        out_specs=(spec,) * 5,
+        check_vma=False,
+    )
+    def run(invd, e0, e1, e2, band):
+        return tuple(
+            exchange_halos(a, H, sharded_axes)
+            for a in (invd, e0, e1, e2, band)
+        )
+
+    return run(
+        coeffs.inv_diag, coeffs.ew0, coeffs.ew1, coeffs.ew2,
+        coeffs.band.astype(jnp.int8),
+    )
+
+
 def smooth_level_sharded(
     x: jax.Array,
     b: jax.Array,
@@ -80,24 +125,25 @@ def smooth_level_sharded(
     forward: bool,
     mesh,
     interpret: bool = False,
+    prehaloed=None,
 ):
     """Drop-in sharded replacement for solver.mg._smooth_level.
 
     Inputs are global (possibly sharded) arrays; output keeps the input
     partitioning.  Runs one halo exchange per <=H-pass kernel chunk.
+    `prehaloed` is the per-solve coefficient-halo cache from
+    `prehalo_coeffs`; without it the coefficients are exchanged here
+    (correct but 7 exchanged arrays per call instead of 2).
     """
     spec = _level_spec(mesh, x.shape)
-    sharded_axes = tuple(
-        (axis, spec[axis], mesh.shape[spec[axis]])
-        for axis in range(3)
-        if spec[axis] is not None and mesh.shape[spec[axis]] > 1
-    )
+    sharded_axes = _sharded_axes_for(mesh, spec)
     core_slices = tuple(
         slice(H, -H) if any(a == axis for a, _, _ in sharded_axes) else slice(None)
         for axis in range(3)
     )
     schedule = pallas_smoother.schedule_for(config, forward)
-    band_i8 = coeffs.band.astype(jnp.int8)
+    if prehaloed is None:
+        prehaloed = prehalo_coeffs(coeffs, mesh)
 
     @functools.partial(
         jax.shard_map,
@@ -106,17 +152,12 @@ def smooth_level_sharded(
         out_specs=spec,
         check_vma=False,
     )
-    def run(x_blk, b_blk, invd, e0, e1, e2, band):
-        # Coefficients and rhs are constant across the whole pass stack:
-        # exchange their halos ONCE per smoother call; only the evolving
-        # solution re-exchanges between >H-pass chunks.
-        # TODO(perf): the five coefficient arrays are also constant across
-        # the whole SOLVE -- a sharded-hierarchy structure with pre-haloed
-        # coefficient blocks would remove ~5/7 of the per-call ICI traffic.
-        bh, invdh, e0h, e1h, e2h, bandh = (
-            exchange_halos(a, H, sharded_axes)
-            for a in (b_blk, invd, e0, e1, e2, band)
-        )
+    def run(x_blk, b_blk, invdh, e0h, e1h, e2h, bandh):
+        # The rhs is constant across the whole pass stack: exchange its
+        # halo ONCE per smoother call; only the evolving solution
+        # re-exchanges between >H-pass chunks.  Coefficients arrive
+        # pre-haloed (constant across the whole solve).
+        bh = exchange_halos(b_blk, H, sharded_axes)
         xh = x_blk
         for start in range(0, len(schedule), H):
             chunk = schedule[start : start + H]
@@ -129,4 +170,4 @@ def smooth_level_sharded(
             )[core_slices]
         return xh
 
-    return run(x, b, coeffs.inv_diag, coeffs.ew0, coeffs.ew1, coeffs.ew2, band_i8)
+    return run(x, b, *prehaloed)

@@ -57,6 +57,7 @@ def shard_problem(
         levels=levels,
         coarse_dofs=_put(problem.hier.coarse_dofs, mesh, replicated),
         coarse_minv=_put(problem.hier.coarse_minv, mesh, replicated),
+        coarse_chol=_put(problem.hier.coarse_chol, mesh, replicated),
     )
     fine = _shard_level(problem.fine, mesh, min_per_device)
     return mgpcg.PoissonProblem(fine=fine, hier=hier)

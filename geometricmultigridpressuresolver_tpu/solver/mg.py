@@ -37,12 +37,30 @@ from geometricmultigridpressuresolver_tpu.ops import domain as domain_ops
 from geometricmultigridpressuresolver_tpu.ops import stencil, transfer
 
 
+# Largest bucketed coarse-system size solved via explicit dense inverse
+# (one MXU matmul per cycle); bigger systems use a Cholesky factorization
+# (fp32-safe conditioning, 2x less HBM than the inverse of the same size).
+COARSE_INVERSE_MAX_PAD = 4096
+
+
 class MGHierarchy(NamedTuple):
-    """Static multigrid hierarchy (a pytree of device arrays)."""
+    """Static multigrid hierarchy (a pytree of device arrays).
+
+    The coarsest direct solver is one of two exact representations chosen
+    at build time by system size (see build_hierarchy): a dense inverse
+    applied as a single MXU matmul (small systems), or a Cholesky factor
+    applied by triangular solves (large systems; matches the reference's
+    Eigen SimplicialCholesky,
+    Source/HDK_GeometricMultigridPoissonSolver.cpp:405-411, with better
+    fp32 conditioning than an explicit inverse).  The unused
+    representation is a (0, 0) array -- shapes are static, so the choice
+    is a trace-time branch.
+    """
 
     levels: tuple[stencil.LevelCoeffs, ...]
     coarse_dofs: jax.Array  # int32 flat indices of coarsest-level DOF cells
-    coarse_minv: jax.Array  # (ndof, ndof) dense inverse of the coarsest system
+    coarse_minv: jax.Array  # (ndof, ndof) dense inverse, or (0, 0)
+    coarse_chol: jax.Array  # (ndof, ndof) lower Cholesky factor, or (0, 0)
 
     @property
     def num_levels(self) -> int:
@@ -85,15 +103,27 @@ def _device_level(labels, face_weights, boundary_width: int, dtype, ew_dtype=Non
 
 
 @functools.partial(jax.jit, static_argnames=("nd_pad",))
-def _densify_invert(rows, cols, vals, ndof, nd_pad: int):
+def _densify(rows, cols, vals, ndof, nd_pad: int):
     """Scatter COO triplets into a dense (nd_pad, nd_pad) matrix with an
-    identity pad block, invert on-device, and symmetrize."""
+    identity pad block (block_diag(A, I) keeps the bucketed shape exact)."""
     a = jnp.zeros((nd_pad, nd_pad), dtype=jnp.float32)
     a = a.at[rows, cols].add(vals)
     i = jnp.arange(nd_pad)
     a = a + jnp.where(i >= ndof, 1.0, 0.0) * jnp.eye(nd_pad, dtype=jnp.float32)
-    minv = jnp.linalg.inv(a)
+    return a
+
+
+@functools.partial(jax.jit, static_argnames=("nd_pad",))
+def _densify_invert(rows, cols, vals, ndof, nd_pad: int):
+    """Dense inverse of the padded system, symmetrized on-device."""
+    minv = jnp.linalg.inv(_densify(rows, cols, vals, ndof, nd_pad))
     return 0.5 * (minv + minv.T)
+
+
+@functools.partial(jax.jit, static_argnames=("nd_pad",))
+def _densify_cholesky(rows, cols, vals, ndof, nd_pad: int):
+    """Lower Cholesky factor of the padded SPD system."""
+    return jnp.linalg.cholesky(_densify(rows, cols, vals, ndof, nd_pad))
 
 
 def build_hierarchy(
@@ -172,7 +202,10 @@ def build_hierarchy(
             assert domain_ops.check_coarsening(fine, coarse_lv)
             assert domain_ops.check_boundary_cells(coarse_lv, None)
 
-    # Coarsest-level direct solver: dense inverse over DOFs (host; tiny).
+    # Coarsest-level direct solver over DOFs: dense inverse (one MXU
+    # matmul per cycle) for small systems, Cholesky factor + triangular
+    # solves for large ones -- an explicit 16k x 16k fp32 inverse is
+    # conditioning-fragile where the factorization is not.
     a, idx = assembled.assemble_poisson(coarsest, None)
     ndof = a.shape[0]
     if ndof > 16384:
@@ -186,6 +219,8 @@ def build_hierarchy(
     # entire fused solve program (see free_surface.build_setup's sticky
     # windows).
     nd_pad = max(256, -(-ndof // 256) * 256) if ndof else 0
+    use_chol = nd_pad > COARSE_INVERSE_MAX_PAD
+    chol = jnp.zeros((0, 0), dtype=dtype)
     if ndof == 0:
         minv = jnp.zeros((0, 0), dtype=dtype)
     else:
@@ -211,16 +246,25 @@ def build_hierarchy(
             rows[: coo.nnz] = coo.row
             cols[: coo.nnz] = coo.col
             vals[: coo.nnz] = coo.data  # padded entries add 0 at (0, 0)
-            minv = _densify_invert(
+            args = (
                 jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
                 jnp.int32(ndof), nd_pad,
             )
+            if use_chol:
+                chol = _densify_cholesky(*args)
+                minv = jnp.zeros((0, 0), dtype=dtype)
+            else:
+                minv = _densify_invert(*args)
         else:
             a_pad = np.eye(nd_pad)
             a_pad[:ndof, :ndof] = a.toarray()
-            minv = jnp.asarray(np.linalg.inv(a_pad), dtype=dtype)
-            # Symmetrize so the preconditioner stays exactly SPD.
-            minv = 0.5 * (minv + minv.T)
+            if use_chol:
+                chol = jnp.asarray(np.linalg.cholesky(a_pad), dtype=dtype)
+                minv = jnp.zeros((0, 0), dtype=dtype)
+            else:
+                minv = jnp.asarray(np.linalg.inv(a_pad), dtype=dtype)
+                # Symmetrize so the preconditioner stays exactly SPD.
+                minv = 0.5 * (minv + minv.T)
     dofs = np.flatnonzero(np.asarray(idx).ravel() >= 0).astype(np.int32)
     # Pad indices point one past the grid; gathers clip (zero minv columns
     # neutralize the garbage) and scatters drop them.
@@ -230,6 +274,7 @@ def build_hierarchy(
         levels=tuple(levels),
         coarse_dofs=jnp.asarray(dofs),
         coarse_minv=minv.astype(dtype),
+        coarse_chol=chol.astype(dtype),
     )
 
 
@@ -241,10 +286,17 @@ def coarse_solve(hier: MGHierarchy, b: jax.Array) -> jax.Array:
     copyVectorToGrid (Source/HDK_GeometricMultigridPoissonSolver.cpp:669-692).
     """
     # Padded (bucketed) DOF entries carry an out-of-range index: the gather
-    # clips (and the corresponding zero minv columns neutralize the value),
-    # the scatter drops them.
+    # clips, the scatter drops them.  With the inverse representation the
+    # zero minv columns neutralize the clipped garbage; with the Cholesky
+    # factor the identity pad block maps pad entries to themselves, and the
+    # scatter drops them either way.
     bv = b.reshape(-1)[jnp.minimum(hier.coarse_dofs, b.size - 1)]
-    xv = jnp.matmul(hier.coarse_minv, bv, precision=jax.lax.Precision.HIGHEST)
+    if hier.coarse_chol.shape[0] > 0:
+        xv = jax.scipy.linalg.cho_solve((hier.coarse_chol, True), bv)
+    else:
+        xv = jnp.matmul(
+            hier.coarse_minv, bv, precision=jax.lax.Precision.HIGHEST
+        )
     flat = jnp.zeros(b.size, dtype=b.dtype).at[hier.coarse_dofs].set(
         xv, mode="drop"
     )
@@ -288,7 +340,10 @@ def _smooth_level(
         from geometricmultigridpressuresolver_tpu.ops import blas
         from geometricmultigridpressuresolver_tpu.parallel import pallas_sharded
 
-        x = pallas_sharded.smooth_level_sharded(x, b, c, config, forward, mesh)
+        x = pallas_sharded.smooth_level_sharded(
+            x, b, c, config, forward, mesh, prehaloed=blocks,
+            interpret=config.pallas_interpret,
+        )
         if emit_dot:
             return x, blas.dot(x, b, c.solvable).astype(jnp.float32)
         return x
@@ -296,7 +351,8 @@ def _smooth_level(
         from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
 
         return pallas_smoother.smooth_level_pallas(
-            x, b, c, config, forward, emit_dot=emit_dot, blocks=blocks
+            x, b, c, config, forward, emit_dot=emit_dot, blocks=blocks,
+            interpret=config.pallas_interpret,
         )
     for _ in range(config.boundary_iterations):
         x = stencil.boundary_jacobi(x, b, c, config.jacobi_damping)
@@ -383,22 +439,32 @@ def _pallas_level_flags(
 
 
 def hierarchy_block_lists(hier: MGHierarchy, config: SolverConfig, mesh=None):
-    """Per-level compacted active-slab lists for the fused kernels.
+    """Per-level solve-invariant kernel data.
 
-    Entry i is None unless level i runs the single-device fused path.  The
-    lists are cheap device reductions over each level's solvable mask --
-    callers running a CG loop should compute them ONCE outside the loop
-    and pass them to `v_cycle` so they are loop-invariant by construction
+    Entry i is: a compacted active-slab list for single-device fused levels
     (the kernel-level analogue of the reference building tile occupancy
-    once per solve, Source/HDK_Utilities.h:54-136).
+    once per solve, Source/HDK_Utilities.h:54-136), a pre-haloed
+    coefficient cache for sharded levels (exchanged once per solve instead
+    of once per smoother call), or None for jnp levels.  Callers running a
+    CG loop should compute this ONCE outside the loop and pass it to
+    `v_cycle` so it is loop-invariant by construction.
     """
     from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
 
     flags = _pallas_level_flags(hier, config, mesh)
-    return tuple(
-        pallas_smoother.level_blocks(c, config) if flag is True else None
-        for c, flag in zip(hier.levels, flags)
-    )
+    aux = []
+    for c, flag in zip(hier.levels, flags):
+        if flag is True:
+            aux.append(pallas_smoother.level_blocks(c, config))
+        elif flag == "sharded":
+            from geometricmultigridpressuresolver_tpu.parallel import (
+                pallas_sharded,
+            )
+
+            aux.append(pallas_sharded.prehalo_coeffs(c, mesh))
+        else:
+            aux.append(None)
+    return tuple(aux)
 
 
 def v_cycle(
@@ -459,6 +525,7 @@ def v_cycle(
                 block_t=config.pallas_block_t, block_y=config.pallas_block_y,
                 blocks=block_lists[level],
                 plan_itemsize=c.ew0.dtype.itemsize,
+                interpret=config.pallas_interpret,
             )
         else:
             r = stencil.residual(xl, rhs[level], c)

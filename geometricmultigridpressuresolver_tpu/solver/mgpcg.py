@@ -111,6 +111,7 @@ def _solve(
                 block_t=config.pallas_block_t, block_y=config.pallas_block_y,
                 blocks=fine_blocks,
                 plan_itemsize=fine.ew0.dtype.itemsize,
+                interpret=config.pallas_interpret,
             )
 
         preconditioner_dot = None

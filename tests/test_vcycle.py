@@ -187,3 +187,70 @@ def test_chebyshev_smoother_option():
     ))
     assert bool(result.converged)
     assert int(result.iterations) < 60
+
+
+def test_coarse_cholesky_path(monkeypatch):
+    """Forcing the Cholesky coarse representation gives the same exact
+    solve as the dense inverse (reference SimplicialCholesky,
+    Source/HDK_GeometricMultigridPoissonSolver.cpp:405-411)."""
+    labels, weights, mg_levels = helpers.expanded_domain(helpers.simple_domain, 16)
+    config = SolverConfig()
+    hier_inv = mg_mod.build_hierarchy(labels, weights, mg_levels, config)
+    assert hier_inv.coarse_chol.shape == (0, 0)
+
+    monkeypatch.setattr(mg_mod, "COARSE_INVERSE_MAX_PAD", 0)
+    hier_ch = mg_mod.build_hierarchy(labels, weights, mg_levels, config)
+    assert hier_ch.coarse_chol.shape[0] > 0
+    assert hier_ch.coarse_minv.shape == (0, 0)
+
+    shape = hier_ch.levels[-1].shape
+    rng = np.random.default_rng(3)
+    b = jnp.where(
+        hier_ch.levels[-1].solvable,
+        jnp.asarray(rng.standard_normal(shape)),
+        0.0,
+    )
+    x_inv = np.asarray(mg_mod.coarse_solve(hier_inv, b))
+    x_ch = np.asarray(mg_mod.coarse_solve(hier_ch, b))
+    np.testing.assert_allclose(x_ch, x_inv, atol=1e-10)
+
+    # Symmetry of the coarse solve operator (test block (c) of the
+    # reference symmetry suite) holds for the factorized form too.
+    b2 = jnp.where(
+        hier_ch.levels[-1].solvable,
+        jnp.asarray(rng.standard_normal(shape)),
+        0.0,
+    )
+    solv = hier_ch.levels[-1].solvable
+    d1 = float(blas.dot(mg_mod.coarse_solve(hier_ch, b), b2, solv))
+    d2 = float(blas.dot(mg_mod.coarse_solve(hier_ch, b2), b, solv))
+    assert abs(d1 - d2) / max(abs(d1), abs(d2)) < 1e-10
+
+    # End-to-end: the full MGPCG still converges with the chol coarse path.
+    problem = mgpcg.build_problem(labels, weights, mg_levels, config)
+    monkeypatch.undo()
+
+
+def test_coarse_cholesky_fp32_theta_clamped(monkeypatch):
+    """fp32 conditioning: near-degenerate theta-clamped ghost-fluid weights
+    (ratios up to 1/theta_clamp = 100 on the diagonal) still converge
+    end-to-end with the Cholesky coarse representation forced."""
+    monkeypatch.setattr(mg_mod, "COARSE_INVERSE_MAX_PAD", 0)
+    labels, weights, mg_levels = helpers.expanded_domain(
+        helpers.sine_dirichlet_domain, 16, fractional=True
+    )
+    config = SolverConfig(solve_dtype=jnp.float32, tolerance=1e-5)
+    problem = mgpcg.build_problem(labels, weights, mg_levels, config)
+    assert problem.hier.coarse_chol.dtype == jnp.float32
+    assert problem.hier.coarse_chol.shape[0] > 0
+
+    rhs = jnp.asarray(
+        helpers.random_solvable_field(labels, seed=5), dtype=jnp.float32
+    )
+    result = mgpcg.solve(problem, rhs, config=config)
+    assert bool(result.converged)
+    rel_l2, _ = cg_mod.recomputed_residual_norms(
+        lambda v: stencil.apply_poisson(v, problem.fine),
+        result.x, rhs, problem.fine.solvable,
+    )
+    assert float(rel_l2) < 2e-5, float(rel_l2)
