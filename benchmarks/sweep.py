@@ -53,7 +53,7 @@ def run(n: int, reps: int = 3, tol: float = 1e-5) -> dict:
         jax.block_until_ready(result.x)
         times.append(time.time() - t0)
     best = min(times)
-    return {
+    out = {
         "n": n,
         "dofs": ndof,
         "expanded": list(setup.expanded_shape),
@@ -63,6 +63,13 @@ def run(n: int, reps: int = 3, tol: float = 1e-5) -> dict:
         "solve_s": round(best, 4),
         "dof_per_s": round(ndof / best, 1),
     }
+    try:
+        stats = jax.devices()[0].memory_stats()
+        out["hbm_peak_gb"] = round(stats["peak_bytes_in_use"] / 2**30, 2)
+        out["hbm_in_use_gb"] = round(stats["bytes_in_use"] / 2**30, 2)
+    except Exception:
+        pass  # not all runtimes expose memory stats
+    return out
 
 
 def main():

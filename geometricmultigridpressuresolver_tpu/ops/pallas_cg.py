@@ -257,7 +257,7 @@ def fused_residual(
     ew0: jax.Array,
     ew1: jax.Array,
     ew2: jax.Array,
-    block_t: int = 16,
+    block_t: int = 32,
     block_y: int = 48,
     interpret: bool = False,
     blocks: tuple | None = None,
@@ -331,7 +331,7 @@ def fused_search_matvec_dot(
     ew0: jax.Array,
     ew1: jax.Array,
     ew2: jax.Array,
-    block_t: int = 16,
+    block_t: int = 32,
     block_y: int = 48,
     interpret: bool = False,
     blocks: tuple | None = None,

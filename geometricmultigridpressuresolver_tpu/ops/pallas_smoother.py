@@ -199,25 +199,37 @@ def _neighbor_shift(x, axis: int, up: bool):
 
 
 def _make_kernel(schedule: tuple[str, ...], damping: float, t: int, y: int,
-                 emit_dot: bool):
+                 emit_dot: bool, emit_residual: bool = False,
+                 zero_x: bool = False):
     """Kernel factory; all geometry is static.
 
     1-D grid with two slab slots: while active block k is computed, block
-    k+1's seven input slabs stream in (double buffering) -- the kernel is
+    k+1's input slabs stream in (double buffering) -- the kernel is
     DMA-bound, so the overlap hides most of the compute.  The grid covers
     the FULL block count, but programs only touch the first n_active
     entries of the compacted (ox, oy) list; trailing programs are empty
     (dead slabs cost neither DMA nor compute -- the zero-aliased output
     already holds their all-zero result).
+
+    `emit_residual` additionally computes r = b - A x_out over the central
+    region after the final pass (the slab already holds every input the
+    residual needs) and streams it as a second output -- fusing the
+    downstroke's smooth->residual pair into one HBM round trip.
+    `zero_x` statically specializes for x == 0 (every V-cycle downstroke
+    entry): the x slab is never streamed in.
     """
     assert len(schedule) <= H and all(k in _KINDS for k in schedule)
     w = damping
     sx, sy = t + 2 * H, y + 2 * H
 
-    def kernel(
-        x_hbm, b_hbm, id_hbm, e0_hbm, e1_hbm, e2_hbm, band_hbm, _zin_hbm,
-        ox_s, oy_s, na_s, out_hbm, *tail,
-    ):
+    def kernel(*args):
+        (x_hbm, b_hbm, id_hbm, e0_hbm, e1_hbm, e2_hbm, band_hbm, _zin_hbm,
+         *rest) = args
+        if emit_residual:
+            _rzin_hbm, ox_s, oy_s, na_s, out_hbm, r_hbm, *tail = rest
+        else:
+            ox_s, oy_s, na_s, out_hbm, *tail = rest
+            r_hbm = None
         if emit_dot:
             dot_smem, xs, bs, ids, e0s, e1s, e2s, bands, in_sem, out_sem, acc = tail
         else:
@@ -229,6 +241,8 @@ def _make_kernel(schedule: tuple[str, ...], damping: float, t: int, y: int,
 
         hbms = (x_hbm, b_hbm, id_hbm, e0_hbm, e1_hbm, e2_hbm, band_hbm)
         slabs = (xs, bs, ids, e0s, e1s, e2s, bands)
+        if zero_x:
+            hbms, slabs = hbms[1:], slabs[1:]
 
         def in_copies(k, slot):
             # Offsets formed as block_index * static_tile so Mosaic can
@@ -243,13 +257,25 @@ def _make_kernel(schedule: tuple[str, ...], damping: float, t: int, y: int,
                 for n, (hbm, vmem) in enumerate(zip(hbms, slabs))
             ]
 
-        def out_copy(k, slot):
+        def out_copies(k, slot):
             ox, oy = ox_s[k] * t, oy_s[k] * y
-            return pltpu.make_async_copy(
-                xs.at[slot, pl.ds(H, t), pl.ds(H, y), :],
-                out_hbm.at[pl.ds(ox + H, t), pl.ds(oy + H, y), :],
-                out_sem.at[slot],
-            )
+            copies = [
+                pltpu.make_async_copy(
+                    xs.at[slot, pl.ds(H, t), pl.ds(H, y), :],
+                    out_hbm.at[pl.ds(ox + H, t), pl.ds(oy + H, y), :],
+                    out_sem.at[slot, 0],
+                )
+            ]
+            if emit_residual:
+                # The residual stages through the consumed b slab.
+                copies.append(
+                    pltpu.make_async_copy(
+                        bs.at[slot, pl.ds(H, t), pl.ds(H, y), :],
+                        r_hbm.at[pl.ds(ox + H, t), pl.ds(oy + H, y), :],
+                        out_sem.at[slot, 1],
+                    )
+                )
+            return copies
 
         @pl.when(idx == 0)
         def _():
@@ -269,11 +295,12 @@ def _make_kernel(schedule: tuple[str, ...], damping: float, t: int, y: int,
 
         @pl.when(idx + 1 < na)
         def _():
-            # The slot we prefetch into sourced block idx-1's output DMA;
-            # its x slab must be fully drained before being overwritten.
+            # The slot we prefetch into sourced block idx-1's output DMAs;
+            # its staging slabs must be fully drained before overwriting.
             @pl.when(idx >= 1)
             def _():
-                out_copy(idx - 1, nxt).wait()
+                for cp in out_copies(idx - 1, nxt):
+                    cp.wait()
 
             for cp in in_copies(idx + 1, nxt):
                 cp.start()
@@ -283,23 +310,26 @@ def _make_kernel(schedule: tuple[str, ...], damping: float, t: int, y: int,
             for cp in in_copies(idx, cur):
                 cp.wait()
 
-            x = xs[cur]
+            if zero_x:
+                x = jnp.zeros((sx, sy) + bs.shape[3:], dtype=bs.dtype)
+            else:
+                x = xs[cur]
             b = bs[cur]
             invd = ids[cur]
             e0, e1, e2 = e0s[cur], e1s[cur], e2s[cur]
             # int8 vector compares are unsupported on TPU; blend
             # arithmetically.
-            band_f = bands[cur].astype(x.dtype)
+            band_f = bands[cur].astype(b.dtype)
 
             # Checkerboard parity: global parity == local parity because
             # the slab origin (ox, oy, 0) has even coordinate sum (t, y
             # even).
-            ii = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-            jj = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-            kk = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+            ii = jax.lax.broadcasted_iota(jnp.int32, b.shape, 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
+            kk = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2)
             red = ((ii + jj + kk) % 2) == 0
 
-            dt = x.dtype.type
+            dt = b.dtype.type
 
             def neighbor_sum(v):
                 s = e0 * _neighbor_shift(v, 0, True) + _neighbor_shift(e0 * v, 0, False)
@@ -331,17 +361,29 @@ def _make_kernel(schedule: tuple[str, ...], damping: float, t: int, y: int,
                     dtype=jnp.float32,
                 )
 
+            if emit_residual:
+                # r = b - (diag x - S) with diag recovered from inv_diag
+                # (exact reciprocal pair on solvable cells; 0 elsewhere so
+                # non-solvable cells stay masked to r = 0 via b = 0, x = 0).
+                diag = jnp.where(invd != 0, dt(1.0) / invd, dt(0.0))
+                r = b + neighbor_sum(x) - diag * x
+                bs[cur] = r
+
             xs[cur] = x
-            out_copy(idx, cur).start()
+            for cp in out_copies(idx, cur):
+                cp.start()
 
             @pl.when(idx == na - 1)
             def _():
-                out_copy(idx, cur).wait()
-                # Drain the previous block's output too (its wait normally
-                # happens in the NEXT step's prefetch, which won't run).
+                for cp in out_copies(idx, cur):
+                    cp.wait()
+                # Drain the previous block's outputs too (their wait
+                # normally happens in the NEXT step's prefetch, which
+                # won't run).
                 @pl.when(idx >= 1)
                 def _():
-                    out_copy(idx - 1, nxt).wait()
+                    for cp in out_copies(idx - 1, nxt):
+                        cp.wait()
 
                 if emit_dot:
                     dot_smem[0, 0] = acc[0, 0]
@@ -351,7 +393,10 @@ def _make_kernel(schedule: tuple[str, ...], damping: float, t: int, y: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("schedule", "damping", "block_t", "block_y", "interpret", "emit_dot"),
+    static_argnames=(
+        "schedule", "damping", "block_t", "block_y", "interpret", "emit_dot",
+        "emit_residual", "zero_x",
+    ),
 )
 def fused_smooth(
     x: jax.Array,
@@ -367,11 +412,23 @@ def fused_smooth(
     block_y: int = 64,
     interpret: bool = False,
     emit_dot: bool = False,
+    emit_residual: bool = False,
+    zero_x: bool = False,
     blocks: tuple[jax.Array, jax.Array, jax.Array] | None = None,
 ):
     """Apply the fused pass stack; returns the updated solution grid (and,
     with `emit_dot`, the scalar <x_out, b> -- the CG rho when this is the
-    preconditioner's final fine-level pass).
+    preconditioner's final fine-level pass; with `emit_residual`, the
+    residual r = b - A x_out as a second grid).
+
+    `zero_x` statically specializes for x == 0 (the V-cycle downstroke
+    entry): the x slab is never streamed from HBM, and -- because the
+    first pass then consumes no neighbor ring -- the slab stays valid one
+    ring wider, which is exactly what makes `emit_residual` exact for a
+    full H-pass schedule.  Ring budget: a k-pass chunk starting from
+    streamed x is valid on the central region when k <= H, on central+1
+    when k <= H-1; starting from x == 0 it is valid on central+1 when
+    k <= H.  The residual's neighbor sum needs central+1.
 
     `blocks` is an optional compacted active-slab list from
     `solvable_block_list(solvable, *plan_tiles(...))`; slabs not on the
@@ -382,6 +439,11 @@ def fused_smooth(
     slabs after removing the H-cell shells, no solvable cells in those
     shells, len(schedule) <= H.
     """
+    if emit_residual and not (zero_x or len(schedule) <= H - 1):
+        raise ValueError(
+            "emit_residual needs one spare halo ring: requires zero_x or "
+            f"a schedule of <= {H - 1} passes (got {len(schedule)})"
+        )
     nx, ny, nz = x.shape
     rx, ry = nx - 2 * H, ny - 2 * H
     fdt = x.dtype
@@ -401,39 +463,49 @@ def fused_smooth(
             )
     na = jnp.asarray(na, jnp.int32).reshape(1)
 
-    kernel = _make_kernel(schedule, damping, tb, yb, emit_dot)
+    kernel = _make_kernel(schedule, damping, tb, yb, emit_dot, emit_residual,
+                          zero_x)
     slab = lambda dt: pltpu.VMEM((2, sx, sy, nz), dt)  # noqa: E731
 
     zin = jnp.zeros_like(x)
     vmem_bytes = _vmem_estimate(sx, sy, nz, edt.itemsize)
 
-    out_shape = jax.ShapeDtypeStruct(x.shape, fdt)
-    out_specs = pl.BlockSpec(memory_space=pl.ANY)
+    out_shape = [jax.ShapeDtypeStruct(x.shape, fdt)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    operands = [x, b, inv_diag, ew0, ew1, ew2, band_i8, zin]
+    aliases = {7: 0}  # zero-filled shells
+    if emit_residual:
+        operands.append(jnp.zeros_like(x))
+        aliases[8] = 1
+        out_shape.append(jax.ShapeDtypeStruct(x.shape, fdt))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     scratch = [
         slab(fdt), slab(fdt), slab(fdt), slab(edt), slab(edt), slab(edt),
         pltpu.VMEM((2, sx, sy, nz), jnp.int8),
         pltpu.SemaphoreType.DMA((2, 7)),
-        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2, 2)),
     ]
     if emit_dot:
-        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), jnp.float32))
-        out_specs = (out_specs, pl.BlockSpec(memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         scratch = scratch + [pltpu.SMEM((1, 1), jnp.float32)]
 
-    return pl.pallas_call(
+    n_any = len(operands)
+    out = pl.pallas_call(
         kernel,
         grid=(nb,),
-        out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 8
+        out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_any
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
-        out_specs=out_specs,
+        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
         scratch_shapes=scratch,
-        input_output_aliases={7: 0},  # zero-filled shells
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(vmem_bytes, 120 << 20),
         ),
         interpret=interpret,
-    )(x, b, inv_diag, ew0, ew1, ew2, band_i8, zin, ox_l, oy_l, na)
+    )(*operands, ox_l, oy_l, na)
+    return out
 
 
 def level_blocks(coeffs, config):
@@ -450,32 +522,58 @@ def level_blocks(coeffs, config):
     return solvable_block_list(coeffs.solvable, tb, yb)
 
 
+def residual_fusable(config, forward: bool = True) -> bool:
+    """Can `emit_residual` ride the final chunk of this schedule (given a
+    zero initial x)?  True unless the last chunk is a full H passes AND is
+    not the first chunk (so the zero-x spare ring is already spent)."""
+    n = len(schedule_for(config, forward))
+    last = n % H or H
+    return last <= H - 1 or n <= H
+
+
 def smooth_level_pallas(
     x, b, coeffs, config, forward: bool, interpret=False, emit_dot=False,
-    blocks=None,
+    blocks=None, x_is_zero=False, emit_residual=False,
 ):
     """Drop-in replacement for solver.mg._smooth_level via fused kernels.
 
     Splits the schedule into <= H-pass chunks (one kernel launch each; the
     default 3/GS/3 block is exactly 8 passes = one launch).  With
-    `emit_dot`, also returns <x_out, b> from the final chunk.
+    `emit_dot`, also returns <x_out, b> from the final chunk.  With
+    `x_is_zero` (caller guarantees x == 0, the V-cycle downstroke entry)
+    the first chunk never streams x; with `emit_residual` the final chunk
+    also returns r = b - A x_out (requires the spare halo ring --
+    x_is_zero for single-chunk schedules; see fused_smooth).
     """
     schedule = schedule_for(config, forward)
     band_i8 = coeffs.band.astype(jnp.int8)
     if blocks is None:
         blocks = level_blocks(coeffs, config)
     starts = list(range(0, len(schedule), H))
-    dot = None
+    dot = residual = None
     for start in starts:
         chunk = schedule[start : start + H]
-        last = start == starts[-1]
+        first, last = start == 0, start == starts[-1]
         out = fused_smooth(
             x, b, coeffs.inv_diag, coeffs.ew0, coeffs.ew1, coeffs.ew2,
             band_i8, chunk, config.jacobi_damping,
             block_t=config.pallas_block_t, block_y=config.pallas_block_y,
-            interpret=interpret, emit_dot=emit_dot and last, blocks=blocks,
+            interpret=interpret, emit_dot=emit_dot and last,
+            emit_residual=emit_residual and last,
+            zero_x=x_is_zero and first, blocks=blocks,
         )
-        x, dot = out if (emit_dot and last) else (out, dot)
+        if last:
+            out = out if isinstance(out, tuple) else (out,)
+            x = out[0]
+            if emit_residual:
+                residual = out[1]
+            if emit_dot:
+                dot = out[-1]
+        else:
+            x = out
+    result = (x,)
+    if emit_residual:
+        result = result + (residual,)
     if emit_dot:
-        return x, dot.reshape(())
-    return x
+        result = result + (dot.reshape(()),)
+    return result if len(result) > 1 else x

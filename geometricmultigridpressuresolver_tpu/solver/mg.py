@@ -313,6 +313,8 @@ def _smooth_level(
     emit_dot: bool = False,
     mesh=None,
     blocks=None,
+    x_is_zero: bool = False,
+    emit_residual: bool = False,
 ):
     """boundary^k ; interior ; boundary^k smoothing block.
 
@@ -352,7 +354,8 @@ def _smooth_level(
 
         return pallas_smoother.smooth_level_pallas(
             x, b, c, config, forward, emit_dot=emit_dot, blocks=blocks,
-            interpret=config.pallas_interpret,
+            interpret=config.pallas_interpret, x_is_zero=x_is_zero,
+            emit_residual=emit_residual,
         )
     for _ in range(config.boundary_iterations):
         x = stencil.boundary_jacobi(x, b, c, config.jacobi_damping)
@@ -503,7 +506,7 @@ def v_cycle(
         return _smooth_level(
             x, b, hier.levels[0], config, forward=True,
             use_pallas=pallas_ok[0], emit_dot=emit_fine_dot, mesh=mesh,
-            blocks=block_lists[0],
+            blocks=block_lists[0], x_is_zero=not use_initial_guess,
         )
 
     # Downstroke.
@@ -512,23 +515,43 @@ def v_cycle(
     for level in range(nlev - 1):
         c = hier.levels[level]
         xl = x if level == 0 else jnp.zeros(c.shape, dtype=dtype)
-        xl = _smooth_level(
-            xl, rhs[level], c, config, forward=True,
-            use_pallas=pallas_ok[level], mesh=mesh, blocks=block_lists[level],
-        )
-        sols[level] = xl
-        if pallas_ok[level] is True:
-            from geometricmultigridpressuresolver_tpu.ops import pallas_cg
+        # The downstroke always enters with x == 0 (level 0 unless warm,
+        # coarser levels by construction): the fused kernel then skips
+        # streaming x AND can emit the level residual from the same slab
+        # (the zero start leaves one spare halo ring -- see fused_smooth),
+        # collapsing the smooth -> residual pair into one HBM round trip.
+        x_zero = level > 0 or not use_initial_guess
+        fuse_residual = False
+        if pallas_ok[level] is True and x_zero:
+            from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
 
-            r = pallas_cg.fused_residual(
-                xl, rhs[level], c.diag, c.ew0, c.ew1, c.ew2,
-                block_t=config.pallas_block_t, block_y=config.pallas_block_y,
-                blocks=block_lists[level],
-                plan_itemsize=c.ew0.dtype.itemsize,
-                interpret=config.pallas_interpret,
+            fuse_residual = pallas_smoother.residual_fusable(config, forward=True)
+        if fuse_residual:
+            xl, r = _smooth_level(
+                xl, rhs[level], c, config, forward=True,
+                use_pallas=True, mesh=mesh, blocks=block_lists[level],
+                x_is_zero=True, emit_residual=True,
             )
         else:
-            r = stencil.residual(xl, rhs[level], c)
+            xl = _smooth_level(
+                xl, rhs[level], c, config, forward=True,
+                use_pallas=pallas_ok[level], mesh=mesh,
+                blocks=block_lists[level], x_is_zero=x_zero,
+            )
+            if pallas_ok[level] is True:
+                from geometricmultigridpressuresolver_tpu.ops import pallas_cg
+
+                r = pallas_cg.fused_residual(
+                    xl, rhs[level], c.diag, c.ew0, c.ew1, c.ew2,
+                    block_t=config.pallas_block_t,
+                    block_y=config.pallas_block_y,
+                    blocks=block_lists[level],
+                    plan_itemsize=c.ew0.dtype.itemsize,
+                    interpret=config.pallas_interpret,
+                )
+            else:
+                r = stencil.residual(xl, rhs[level], c)
+        sols[level] = xl
         rhs[level + 1] = restrict(r, hier.levels[level + 1].solvable)
 
     # Coarsest level direct solve.

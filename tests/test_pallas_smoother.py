@@ -164,7 +164,8 @@ def test_block_occupancy_skipping(fixture32):
     # Residual kernel with the same list.
     r_ref = stencil.residual(x, b, c)
     r_got = pallas_cg.fused_residual(
-        x, b, c.diag, c.ew0, c.ew1, c.ew2, interpret=True, blocks=blocks
+        x, b, c.diag, c.ew0, c.ew1, c.ew2, interpret=True, blocks=blocks,
+        block_t=tb, block_y=yb, plan_itemsize=c.ew0.dtype.itemsize,
     )
     np.testing.assert_allclose(np.asarray(r_got), np.asarray(r_ref), atol=2e-5)
 
@@ -174,8 +175,61 @@ def test_block_occupancy_skipping(fixture32):
     ap_ref = jnp.where(c.solvable, stencil.apply_poisson(p_ref, c), 0.0)
     pap_ref = float(blas.dot(p_ref, ap_ref, c.solvable))
     pn, ap, pap = pallas_cg.fused_search_matvec_dot(
-        x, b, beta, c.diag, c.ew0, c.ew1, c.ew2, interpret=True, blocks=blocks
+        x, b, beta, c.diag, c.ew0, c.ew1, c.ew2, interpret=True, blocks=blocks,
+        block_t=tb, block_y=yb, plan_itemsize=c.ew0.dtype.itemsize,
     )
     np.testing.assert_allclose(np.asarray(pn), np.asarray(p_ref), atol=2e-6)
     np.testing.assert_allclose(np.asarray(ap), np.asarray(ap_ref), atol=2e-5)
     np.testing.assert_allclose(float(pap[0, 0]), pap_ref, rtol=1e-5)
+
+
+def test_zero_x_and_fused_residual(fixture32):
+    """Downstroke specialization: with x == 0 the kernel skips streaming x,
+    and the final pass can emit r = b - A x_out exactly (the zero start
+    leaves one spare halo ring -- fused_smooth's ring-budget rule)."""
+    from geometricmultigridpressuresolver_tpu.ops import stencil
+
+    hier, c, x, b = fixture32
+    config = SolverConfig(solve_dtype=jnp.float32)
+    zero = jnp.zeros_like(b)
+
+    ref = mg_mod._smooth_level(zero, b, c, config, forward=True)
+    r_ref = stencil.residual(ref, b, c)
+
+    got, r_got = pallas_smoother.smooth_level_pallas(
+        zero, b, c, config, forward=True, interpret=True,
+        x_is_zero=True, emit_residual=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(r_got), np.asarray(r_ref), atol=2e-4)
+
+    # All three outputs together (residual + rho fusion).
+    got2, r2, dot = pallas_smoother.smooth_level_pallas(
+        zero, b, c, config, forward=True, interpret=True,
+        x_is_zero=True, emit_residual=True, emit_dot=True,
+    )
+    from geometricmultigridpressuresolver_tpu.ops import blas
+
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r_ref), atol=2e-4)
+    np.testing.assert_allclose(
+        float(dot), float(blas.dot(ref, b, c.solvable)), rtol=1e-5
+    )
+
+    # The ring-budget guard: an 8-pass schedule without the zero-x spare
+    # ring must be rejected.
+    with np.testing.assert_raises(ValueError):
+        pallas_smoother.fused_smooth(
+            x, b, c.inv_diag, c.ew0, c.ew1, c.ew2,
+            c.band.astype(jnp.int8),
+            ("b",) * 8, interpret=True, emit_residual=True, zero_x=False,
+        )
+
+
+def test_residual_fusable_rule():
+    cfg = SolverConfig()  # 3 + GS(2) + 3 = 8 passes, single chunk
+    assert pallas_smoother.residual_fusable(cfg)
+    cfg4 = SolverConfig(boundary_iterations=4)  # 10 passes -> [8, 2]
+    assert pallas_smoother.residual_fusable(cfg4)
+    cfg7 = SolverConfig(boundary_iterations=7)  # 16 passes -> [8, 8]
+    assert not pallas_smoother.residual_fusable(cfg7)
