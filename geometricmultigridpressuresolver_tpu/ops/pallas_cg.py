@@ -313,7 +313,10 @@ def fused_residual(
         ],
         input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(vmem_bytes, 120 << 20),
+            # The estimate drives tile CHOICE; the limit passed to Mosaic
+            # gets headroom so a near-exact estimate does not fail
+            # compilation by a hair.
+            vmem_limit_bytes=min(vmem_bytes + (vmem_bytes >> 2), 120 << 20),
         ),
         interpret=interpret,
     )(x, b, diag, ew0, ew1, ew2, jnp.zeros_like(x), ox_l, oy_l, na)
@@ -399,7 +402,10 @@ def fused_search_matvec_dot(
         ],
         input_output_aliases={7: 0, 8: 1},  # zero-filled shells
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(vmem_bytes, 120 << 20),
+            # The estimate drives tile CHOICE; the limit passed to Mosaic
+            # gets headroom so a near-exact estimate does not fail
+            # compilation by a hair.
+            vmem_limit_bytes=min(vmem_bytes + (vmem_bytes >> 2), 120 << 20),
         ),
         interpret=interpret,
     )(z, p, diag, ew0, ew1, ew2, beta_arr, zin, jnp.zeros_like(z),

@@ -501,7 +501,10 @@ def fused_smooth(
         scratch_shapes=scratch,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(vmem_bytes, 120 << 20),
+            # The estimate drives tile CHOICE; the limit passed to Mosaic
+            # gets headroom so a near-exact estimate does not fail
+            # compilation by a hair.
+            vmem_limit_bytes=min(vmem_bytes + (vmem_bytes >> 2), 120 << 20),
         ),
         interpret=interpret,
     )(*operands, ox_l, oy_l, na)
