@@ -205,7 +205,7 @@ def chebyshev_smooth(
     b: jax.Array,
     c: LevelCoeffs,
     degree: int = 2,
-    lambda_max: float = 12.0,
+    lambda_max: float | jax.Array | None = None,
     smoothing_ratio: float = 4.0,
 ) -> jax.Array:
     """Chebyshev polynomial smoother of the given degree.
@@ -214,28 +214,40 @@ def chebyshev_smooth(
     the reference, informed by the polynomial-smoother literature in
     PAPERS.md): x' = x + p(A) r with Chebyshev coefficients targeting the
     upper part of the spectrum [lambda_max / smoothing_ratio, lambda_max].
-    For the dimensionless Poisson operator, Gershgorin bounds the spectrum
-    by 12 (diagonal 6 plus off-diagonal row sum 6).
 
-    Because the smoother is a fixed polynomial in A, it commutes with A and
-    is self-adjoint in the A-inner product automatically -- the V-cycle
-    stays a symmetric preconditioner WITHOUT the adjoint sweep-ordering
+    `lambda_max=None` (default) computes the Gershgorin bound from the
+    level itself: max over solvable cells of diag + off-diagonal row sum.
+    For a unit-weight interior this is the classic 12 (diagonal 6 plus
+    off-diagonal 6), but ghost-fluid theta-clamped boundary rows carry
+    diagonals up to weight/theta_clamp -- a fixed bound of 12 lets the
+    polynomial AMPLIFY those modes (measured: divergence on free-surface
+    domains at degree 3).  The bound is a cheap device reduction and keeps
+    the smoother a fixed polynomial in A for a fixed level, so it stays
+    self-adjoint in the A-inner product automatically -- the V-cycle
+    remains a symmetric preconditioner WITHOUT the adjoint sweep-ordering
     bookkeeping Gauss-Seidel requires.
     """
-    lambda_min = lambda_max / smoothing_ratio
+    dtype = x.dtype
+    if lambda_max is None:
+        ones = jnp.ones_like(c.diag)
+        row = c.diag + neighbor_sum(ones, c)
+        lambda_max = jnp.max(jnp.where(c.solvable, row, 0.0))
+    lambda_max = jnp.asarray(lambda_max, dtype=dtype)
+    lambda_min = lambda_max / dtype.type(smoothing_ratio)
     theta = 0.5 * (lambda_max + lambda_min)
     delta = 0.5 * (lambda_max - lambda_min)
     sigma = theta / delta
-    dtype = x.dtype
 
     r = residual(x, b, c)
-    d = dtype.type(1.0 / theta) * r
+    d = (1.0 / theta).astype(dtype) * r
     x = x + d
     rho = 1.0 / sigma
     for _ in range(1, degree):
         rho_new = 1.0 / (2.0 * sigma - rho)
         r = residual(x, b, c)
-        d = dtype.type(rho_new * rho) * d + dtype.type(2.0 * rho_new / delta) * r
+        d = (rho_new * rho).astype(dtype) * d + (
+            2.0 * rho_new / delta
+        ).astype(dtype) * r
         x = x + d
         rho = rho_new
     return x

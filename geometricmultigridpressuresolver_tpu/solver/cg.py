@@ -30,6 +30,26 @@ class CGResult(NamedTuple):
     converged: jax.Array        # bool
 
 
+def _interrupt_flag(interrupt_check, iteration):
+    """Evaluate the cooperative-interruption callback on the host.
+
+    The reference checks `UT_Interrupt` inside every operator loop
+    (Source/HDK_GeometricMultigridOperators.h:293); under jit the natural
+    granularity is once per CG iteration: an ordered host callback sets a
+    flag in the loop state, and the while-loop condition consumes it (side
+    effects are not allowed in `cond`, so the check lives in the body).
+    Opt-in -- the host round trip costs real latency on remote devices.
+    """
+    from jax.experimental import io_callback
+
+    return io_callback(
+        lambda it: bool(interrupt_check(int(it))),
+        jax.ShapeDtypeStruct((), jnp.bool_),
+        iteration,
+        ordered=True,
+    )
+
+
 class _State(NamedTuple):
     x: jax.Array
     r: jax.Array
@@ -37,6 +57,7 @@ class _State(NamedTuple):
     rho: jax.Array
     rr: jax.Array
     iteration: jax.Array
+    interrupted: jax.Array
 
 
 def solve_pcg(
@@ -48,8 +69,15 @@ def solve_pcg(
     tolerance: float = 1e-5,
     max_iterations: int = 2500,
     project_null_space: bool = False,
+    interrupt_check: Callable[[int], bool] | None = None,
 ) -> CGResult:
-    """PCG solve of A x = b over the solvable set.  Pure and jittable."""
+    """PCG solve of A x = b over the solvable set.  Pure and jittable.
+
+    `interrupt_check(iteration) -> bool` optionally enables cooperative
+    cancellation (reference UT_Interrupt): checked on the host once per
+    iteration; returning True stops the loop after the current iteration
+    with the best solution so far (`converged` stays False).
+    """
     dtype = b.dtype
     x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
 
@@ -66,7 +94,11 @@ def solve_pcg(
     rr0 = blas.squared_l2_norm(r, solvable)
 
     def cond(s: _State):
-        return (s.rr > threshold) & (s.iteration < max_iterations)
+        return (
+            (s.rr > threshold)
+            & (s.iteration < max_iterations)
+            & jnp.logical_not(s.interrupted)
+        )
 
     def body(s: _State) -> _State:
         ap = apply_a(s.p)
@@ -79,9 +111,14 @@ def solve_pcg(
         beta = rho_new / jnp.where(s.rho == 0, jnp.ones_like(s.rho), s.rho)
         p = z + beta * s.p
         rr = blas.squared_l2_norm(r, solvable)
-        return _State(x, r, p, rho_new, rr, s.iteration + 1)
+        interrupted = (
+            _interrupt_flag(interrupt_check, s.iteration + 1)
+            if interrupt_check is not None
+            else s.interrupted
+        )
+        return _State(x, r, p, rho_new, rr, s.iteration + 1, interrupted)
 
-    init = _State(x, r, z, rho0, rr0, jnp.int32(0))
+    init = _State(x, r, z, rho0, rr0, jnp.int32(0), jnp.bool_(False))
     final = jax.lax.while_loop(cond, body, init)
 
     # Zero-RHS early-out (reference HDK_GeometricCGPoissonSolver.h:36-40):
@@ -108,6 +145,7 @@ def solve_pcg_fused(
     max_iterations: int = 2500,
     project_null_space: bool = False,
     preconditioner_dot: Callable[[jax.Array], tuple] | None = None,
+    interrupt_check: Callable[[int], bool] | None = None,
 ) -> CGResult:
     """PCG with a fused search-direction/mat-vec/dot step.
 
@@ -151,9 +189,14 @@ def solve_pcg_fused(
         beta: jax.Array
         rr: jax.Array
         iteration: jax.Array
+        interrupted: jax.Array
 
     def cond(s):
-        return (s.rr > threshold) & (s.iteration < max_iterations)
+        return (
+            (s.rr > threshold)
+            & (s.iteration < max_iterations)
+            & jnp.logical_not(s.interrupted)
+        )
 
     def body(s):
         p, ap, pap = step_p(s.z, s.p, s.beta)
@@ -166,10 +209,18 @@ def solve_pcg_fused(
         rho_new = rho_new.reshape(()).astype(dtype)
         beta = rho_new / jnp.where(s.rho == 0, jnp.ones_like(s.rho), s.rho)
         rr = blas.squared_l2_norm(r, solvable)
-        return _FState(x, r, z, p, rho_new, beta, rr, s.iteration + 1)
+        interrupted = (
+            _interrupt_flag(interrupt_check, s.iteration + 1)
+            if interrupt_check is not None
+            else s.interrupted
+        )
+        return _FState(
+            x, r, z, p, rho_new, beta, rr, s.iteration + 1, interrupted
+        )
 
     init = _FState(
-        x, r, z, z, rho0, jnp.zeros_like(rho0), rr0, jnp.int32(0)
+        x, r, z, z, rho0, jnp.zeros_like(rho0), rr0, jnp.int32(0),
+        jnp.bool_(False),
     )
     final = jax.lax.while_loop(cond, body, init)
 

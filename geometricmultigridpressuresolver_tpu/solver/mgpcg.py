@@ -60,9 +60,12 @@ def build_problem(
     return PoissonProblem(fine=fine, hier=hier)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "has_x0", "mesh"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "has_x0", "mesh", "interrupt_check")
+)
 def _solve(
-    problem: PoissonProblem, rhs, x0, config: SolverConfig, has_x0: bool, mesh=None
+    problem: PoissonProblem, rhs, x0, config: SolverConfig, has_x0: bool,
+    mesh=None, interrupt_check=None,
 ):
     fine = problem.fine
     solve_dtype = config.solve_dtype
@@ -140,6 +143,7 @@ def _solve(
             max_iterations=config.max_iterations,
             project_null_space=config.project_null_space,
             preconditioner_dot=preconditioner_dot,
+            interrupt_check=interrupt_check,
         )
 
     return cg_mod.solve_pcg(
@@ -151,6 +155,7 @@ def _solve(
         tolerance=config.tolerance,
         max_iterations=config.max_iterations,
         project_null_space=config.project_null_space,
+        interrupt_check=interrupt_check,
     )
 
 
@@ -160,6 +165,7 @@ def solve(
     x0: jax.Array | None = None,
     config: SolverConfig = SolverConfig(),
     mesh=None,
+    interrupt_check=None,
 ) -> cg_mod.CGResult:
     """MGPCG solve of the dimensionless Poisson system over solvable cells.
 
@@ -167,8 +173,14 @@ def solve(
     into the shard_map + halo-exchange Pallas path on block-partitioned
     inputs (parallel/pallas_sharded.py); without it, multi-device inputs
     run the jnp operators under the GSPMD partitioner.
+
+    `interrupt_check(iteration) -> bool` opts into cooperative
+    cancellation (the reference's UT_Interrupt analogue): evaluated on the
+    host once per CG iteration; True stops the solve after that iteration.
+    Off by default -- the per-iteration host round trip costs latency on
+    remote devices.
     """
     has_x0 = x0 is not None
     if x0 is None:
         x0 = jnp.zeros_like(rhs)
-    return _solve(problem, rhs, x0, config, has_x0, mesh)
+    return _solve(problem, rhs, x0, config, has_x0, mesh, interrupt_check)

@@ -254,3 +254,38 @@ def test_coarse_cholesky_fp32_theta_clamped(monkeypatch):
         result.x, rhs, problem.fine.solvable,
     )
     assert float(rel_l2) < 2e-5, float(rel_l2)
+
+
+def test_cooperative_interruption():
+    """Opt-in UT_Interrupt analogue: a host callback checked per iteration
+    stops the solve early with the best solution so far (reference checks
+    UT_Interrupt in every loop, Source/HDK_GeometricMultigridOperators.h:293)."""
+    labels, weights, mg_levels = helpers.expanded_domain(helpers.simple_domain, 16)
+    config = SolverConfig(tolerance=1e-12, max_iterations=100)
+    problem = mgpcg.build_problem(labels, weights, mg_levels, config)
+    rhs = jnp.asarray(helpers.random_solvable_field(labels, seed=31))
+
+    seen = []
+
+    def interrupt_after_3(iteration):
+        seen.append(iteration)
+        return iteration >= 3
+
+    result = mgpcg.solve(
+        problem, rhs, config=config, interrupt_check=interrupt_after_3
+    )
+    assert int(result.iterations) == 3
+    assert not bool(result.converged)
+    assert seen and max(seen) == 3
+    # The partial solution is still a real CG iterate (finite, nonzero).
+    assert np.isfinite(np.asarray(result.x)).all()
+    assert float(blas.l2_norm(result.x, problem.fine.solvable)) > 0
+
+    # Never interrupting reproduces the plain solve exactly.
+    base = mgpcg.solve(problem, rhs, config=SolverConfig(tolerance=1e-8))
+    never = mgpcg.solve(
+        problem, rhs, config=SolverConfig(tolerance=1e-8),
+        interrupt_check=lambda it: False,
+    )
+    assert int(base.iterations) == int(never.iterations)
+    np.testing.assert_array_equal(np.asarray(base.x), np.asarray(never.x))
