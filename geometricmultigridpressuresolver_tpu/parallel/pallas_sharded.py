@@ -117,6 +117,86 @@ def prehalo_coeffs(coeffs, mesh):
     )
 
 
+def cg_step_sharded(
+    z: jax.Array,
+    p: jax.Array,
+    beta,
+    coeffs,
+    config,
+    mesh,
+    interpret: bool = False,
+    prehaloed_cg=None,
+):
+    """Sharded fused CG step: p' = z + beta p, A p', <p', A p'>.
+
+    Per-device: exchange H-deep halos of z and p along the sharded mesh
+    axes (the kernel's slab geometry wants an 8-aligned y halo, so the
+    full kernel halo is exchanged), run the single-device fused kernel
+    (ops.pallas_cg.fused_search_matvec_dot) on the haloed blocks, slice
+    the cores back out, and psum the per-device dot partials -- a fixed
+    reduction tree, so the dot stays deterministic.
+
+    `prehaloed_cg` optionally carries the four constant operator arrays
+    (diag, ew0..2) pre-haloed once per solve (see prehalo_cg_coeffs).
+    """
+    spec = _level_spec(mesh, z.shape)
+    sharded_axes = _sharded_axes_for(mesh, spec)
+    core_slices = tuple(
+        slice(H, -H) if any(a == axis for a, _, _ in sharded_axes) else slice(None)
+        for axis in range(3)
+    )
+    if prehaloed_cg is None:
+        prehaloed_cg = prehalo_cg_coeffs(coeffs, mesh)
+    beta_arr = jnp.asarray(beta, dtype=z.dtype)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec, PartitionSpec()) + (spec,) * 4,
+        out_specs=(spec, spec, PartitionSpec()),
+        check_vma=False,
+    )
+    def run(z_blk, p_blk, beta_s, dgh, e0h, e1h, e2h):
+        zh = exchange_halos(z_blk, H, sharded_axes)
+        ph = exchange_halos(p_blk, H, sharded_axes)
+        from geometricmultigridpressuresolver_tpu.ops import pallas_cg
+
+        pn, ap, dot = pallas_cg.fused_search_matvec_dot(
+            zh, ph, beta_s, dgh, e0h, e1h, e2h,
+            block_t=config.pallas_block_t, block_y=config.pallas_block_y,
+            interpret=interpret,
+        )
+        dot = jax.lax.psum(
+            dot.reshape(()), tuple(name for _, name, _ in sharded_axes)
+        )
+        return pn[core_slices], ap[core_slices], dot
+
+    return run(z, p, beta_arr, *prehaloed_cg)
+
+
+def prehalo_cg_coeffs(coeffs, mesh):
+    """Pre-halo the CG operator's constant arrays (diag, ew0..2) once per
+    solve, as `prehalo_coeffs` does for the smoother's."""
+    spec = _level_spec(mesh, coeffs.shape)
+    sharded_axes = _sharded_axes_for(mesh, spec)
+    if not sharded_axes:
+        return None
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec,) * 4,
+        out_specs=(spec,) * 4,
+        check_vma=False,
+    )
+    def run(dg, e0, e1, e2):
+        return tuple(
+            exchange_halos(a, H, sharded_axes) for a in (dg, e0, e1, e2)
+        )
+
+    return run(coeffs.diag, coeffs.ew0, coeffs.ew1, coeffs.ew2)
+
+
 def smooth_level_sharded(
     x: jax.Array,
     b: jax.Array,

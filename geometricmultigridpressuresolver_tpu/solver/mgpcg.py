@@ -93,29 +93,45 @@ def _solve(
         def preconditioner(r):
             return fine.inv_diag * r
 
-    # Fused search-direction/mat-vec/dot step (ops.pallas_cg) when the fine
-    # level runs the SINGLE-DEVICE Pallas path (the CG-step kernel has no
-    # sharded variant yet; under a mesh the outer CG stays on GSPMD jnp ops).
-    use_fused = (
-        mg_mod._pallas_level_flags(problem.hier, config, mesh)[0] is True
-        and fine.diag.dtype == jnp.float32
-    )
-    if use_fused:
+    # Fused search-direction/mat-vec/dot step (ops.pallas_cg): the
+    # single-device kernel when the fine level runs the Pallas path, or
+    # its shard_map + halo-exchange variant when the fine level is
+    # block-partitioned (parallel/pallas_sharded.cg_step_sharded).
+    fine_flag = mg_mod._pallas_level_flags(problem.hier, config, mesh)[0]
+    use_fused = fine_flag is True and fine.diag.dtype == jnp.float32
+    use_fused_sharded = fine_flag == "sharded" and fine.diag.dtype == jnp.float32
+    if use_fused or use_fused_sharded:
         from geometricmultigridpressuresolver_tpu.ops import pallas_cg
         from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
 
-        # The CG operator's own active-slab list (fine may differ from
-        # hier.levels[0] in dtype; identical expressions CSE either way).
-        fine_blocks = pallas_smoother.level_blocks(fine, config)
-
-        def step_p(z, p, beta):
-            return pallas_cg.fused_search_matvec_dot(
-                z, p, beta, fine.diag, fine.ew0, fine.ew1, fine.ew2,
-                block_t=config.pallas_block_t, block_y=config.pallas_block_y,
-                blocks=fine_blocks,
-                plan_itemsize=fine.ew0.dtype.itemsize,
-                interpret=config.pallas_interpret,
+        if use_fused_sharded:
+            from geometricmultigridpressuresolver_tpu.parallel import (
+                pallas_sharded,
             )
+
+            # Constant operator halos exchanged once per solve.
+            fine_prehalo = pallas_sharded.prehalo_cg_coeffs(fine, mesh)
+
+            def step_p(z, p, beta):
+                return pallas_sharded.cg_step_sharded(
+                    z, p, beta, fine, config, mesh,
+                    interpret=config.pallas_interpret,
+                    prehaloed_cg=fine_prehalo,
+                )
+        else:
+            # The CG operator's own active-slab list (fine may differ from
+            # hier.levels[0] in dtype; identical expressions CSE either way).
+            fine_blocks = pallas_smoother.level_blocks(fine, config)
+
+            def step_p(z, p, beta):
+                return pallas_cg.fused_search_matvec_dot(
+                    z, p, beta, fine.diag, fine.ew0, fine.ew1, fine.ew2,
+                    block_t=config.pallas_block_t,
+                    block_y=config.pallas_block_y,
+                    blocks=fine_blocks,
+                    plan_itemsize=fine.ew0.dtype.itemsize,
+                    interpret=config.pallas_interpret,
+                )
 
         preconditioner_dot = None
         if config.use_mg_preconditioner:

@@ -209,3 +209,41 @@ def test_prehaloed_coefficients_cut_exchanges():
     n_with = str(jax.make_jaxpr(with_cache)(x, b, prehaloed)).count("ppermute")
     n_without = str(jax.make_jaxpr(without_cache)(x, b)).count("ppermute")
     assert n_with * 3 <= n_without, (n_with, n_without)
+
+
+def test_sharded_cg_step_matches_jnp():
+    """shard_map + halo CG-step kernel == the jnp step (p', Ap', <p',Ap'>),
+    with the dot psum'd across devices deterministically."""
+    from geometricmultigridpressuresolver_tpu.ops import blas, stencil
+    from geometricmultigridpressuresolver_tpu.parallel import pallas_sharded
+    from geometricmultigridpressuresolver_tpu.solver import mg as mg_mod
+
+    labels, weights, mg_levels = helpers.expanded_domain(
+        helpers.sine_dirichlet_domain, 32, fractional=True
+    )
+    config = SolverConfig(solve_dtype=jnp.float32)
+    hier = mg_mod.build_hierarchy(labels, weights, mg_levels, config)
+    c = hier.levels[0]
+
+    mesh_xy = jax.sharding.Mesh(
+        np.array(jax.devices()[:8]).reshape(4, 2, 1), ("x", "y", "z")
+    )
+    rng = np.random.default_rng(23)
+    z = jnp.where(
+        c.solvable, jnp.asarray(rng.standard_normal(c.shape), jnp.float32), 0.0
+    )
+    p = jnp.where(
+        c.solvable, jnp.asarray(rng.standard_normal(c.shape), jnp.float32), 0.0
+    )
+    beta = jnp.float32(0.4113)
+
+    p_ref = z + beta * p
+    ap_ref = jnp.where(c.solvable, stencil.apply_poisson(p_ref, c), 0.0)
+    pap_ref = float(blas.dot(p_ref, ap_ref, c.solvable))
+
+    pn, ap, pap = pallas_sharded.cg_step_sharded(
+        z, p, beta, c, config, mesh_xy, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(pn), np.asarray(p_ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(ap), np.asarray(ap_ref), atol=2e-5)
+    np.testing.assert_allclose(float(pap), pap_ref, rtol=1e-5)
