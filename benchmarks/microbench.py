@@ -79,12 +79,56 @@ def main():
     timed_loop("rb_gauss_seidel fwd (fine)",
                lambda x, b, c: stencil.rb_gauss_seidel(x, b, c, True), x,
                (b, c0), k, bytes_per_iter=2 * 7 * cells * fp)
-    timed_loop("smooth_level block (3B+GS+3B)",
+    timed_loop("smooth_level block jnp (3B+GS+3B)",
                lambda x, b, c: mg_mod._smooth_level(x, b, c, config, True), x,
                (b, c0), k, bytes_per_iter=8 * 7 * cells * fp)
     timed_loop("residual (fine)",
                lambda x, b, c: stencil.residual(x, b, c), x, (b, c0), k,
                bytes_per_iter=7 * cells * fp)
+
+    # Fused Pallas kernels (TPU only; geometry gates may skip them).
+    from geometricmultigridpressuresolver_tpu.ops import pallas_cg
+    from geometricmultigridpressuresolver_tpu.ops import pallas_smoother as ps
+
+    if ps.eligible(shape, 0, hier.num_levels, config.pallas_block_t):
+        blocks = ps.level_blocks(c0, config)
+        band8 = c0.band.astype(jnp.int8)
+        sched = ps.schedule_for(config, True)
+
+        def fused_block(x, b, c, band8, blocks):
+            return ps.fused_smooth(
+                x, b, c.inv_diag, c.ew0, c.ew1, c.ew2, band8, sched,
+                config.jacobi_damping, block_t=config.pallas_block_t,
+                block_y=config.pallas_block_y, blocks=blocks,
+            )
+
+        timed_loop("fused smoother (8 passes, occupancy)", fused_block, x,
+                   (b, c0, band8, blocks), k,
+                   bytes_per_iter=8 * 7 * cells * fp)
+
+        def fused_down(x, b, c, band8, blocks):
+            out, r = ps.fused_smooth(
+                x, b, c.inv_diag, c.ew0, c.ew1, c.ew2, band8, sched,
+                config.jacobi_damping, block_t=config.pallas_block_t,
+                block_y=config.pallas_block_y, blocks=blocks,
+                zero_x=True, emit_residual=True,
+            )
+            return out + 0 * r
+
+        timed_loop("fused smoother zero_x + residual", fused_down, x,
+                   (b, c0, band8, blocks), k,
+                   bytes_per_iter=9 * 7 * cells * fp)
+
+        def fused_step(x, b, c, blocks):
+            pn, ap, _ = pallas_cg.fused_search_matvec_dot(
+                x, b, jnp.float32(0.5), c.diag, c.ew0, c.ew1, c.ew2,
+                block_t=config.pallas_block_t, block_y=config.pallas_block_y,
+                blocks=blocks, plan_itemsize=c.ew0.dtype.itemsize,
+            )
+            return pn + 0 * ap
+
+        timed_loop("fused CG step (occupancy)", fused_step, x,
+                   (b, c0, blocks), k, bytes_per_iter=8 * cells * fp)
 
     if hier.num_levels > 1:
         c1 = hier.levels[1]
