@@ -392,15 +392,28 @@ def build_setup(
 
     base_shape = tuple(liquid_phi.shape)
     if config.compact_domain:
-        proj_host = [np.asarray(p) for p in projections[:3]]
-        mg_levels, padding, bbox, expanded_shape = (
-            domain_ops.compact_expansion_params(
-                proj_host,
-                non_ext_count=int(projections[3]),
-                coarse_dof_target=config.coarse_dof_target,
+        non_ext_count = int(projections[3])
+        if non_ext_count == 0:
+            # No liquid anywhere (e.g. a frame where it all left the
+            # domain): a tiny all-EXTERIOR window keeps every downstream
+            # program well-formed -- zero DOFs, zero RHS, and the CG
+            # zero-RHS early-out makes the solve trivially free (the
+            # reference node similarly degrades to a no-op when
+            # buildMaterialCellLabels finds no liquid).
+            mg_levels, padding = 2, 2
+            bbox = tuple((s // 2, s // 2 + 1) for s in base_shape)
+            expanded_shape = (8, 8, 8)
+            window_labels = trimmed
+        else:
+            proj_host = [np.asarray(p) for p in projections[:3]]
+            mg_levels, padding, bbox, expanded_shape = (
+                domain_ops.compact_expansion_params(
+                    proj_host,
+                    non_ext_count=non_ext_count,
+                    coarse_dof_target=config.coarse_dof_target,
+                )
             )
-        )
-        window_labels = trimmed
+            window_labels = trimmed
     else:
         mg_levels, padding, expanded_shape = domain_ops.expansion_params(base_shape)
         bbox = tuple((0, n) for n in base_shape)

@@ -57,6 +57,14 @@ def build_problem(
         fine, _, _ = mg_mod._device_level(
             jnp.asarray(labels), fw, config.boundary_width, config.solve_dtype
         )
+        if config.mg_dtype_resolved == config.solve_dtype:
+            # Only the edge-weight storage differs (mg_ew_dtype narrowing):
+            # solvable/band/diag/inv_diag are bit-identical, so share them
+            # with the hierarchy's finest level instead of holding a second
+            # full-resolution copy (~10 B/cell of HBM at the window size).
+            fine = hier.levels[0]._replace(
+                ew0=fine.ew0, ew1=fine.ew1, ew2=fine.ew2
+            )
     return PoissonProblem(fine=fine, hier=hier)
 
 

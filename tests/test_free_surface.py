@@ -265,3 +265,31 @@ def test_sticky_window_reuse():
     # Without reuse, the shrunk scene gets its own (smaller) shape.
     s2 = free_surface.build_setup(phi_shrunk, weights, config=config)
     assert all(a <= b for a, b in zip(s2.expanded_shape, s0.expanded_shape))
+
+
+def test_empty_liquid_degrades_gracefully():
+    """A frame with no liquid anywhere must produce a trivial projection
+    (zero pressure, velocity unchanged) instead of failing -- the
+    zero-DOF analogue of the reference's no-liquid cook."""
+    n = 16
+    phi = jnp.full((n, n, n), 1.0)  # all air
+    weights = sdf.open_box_weights((n, n, n))
+    rng = np.random.default_rng(2)
+    velocity = tuple(
+        jnp.asarray(
+            rng.standard_normal(tuple(n + (1 if a == ax else 0) for a in range(3)))
+        )
+        for ax in range(3)
+    )
+    config = SolverConfig()
+    setup = free_surface.build_setup(phi, weights, config=config)
+    assert int(np.asarray(setup.problem.fine.solvable).sum()) == 0
+
+    result = free_surface.project(setup, velocity, config=config)
+    assert int(result.cg.iterations) == 0
+    assert bool(result.cg.converged)
+    assert float(jnp.max(jnp.abs(result.pressure))) == 0.0
+    for a in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(result.velocity[a]), np.asarray(velocity[a])
+        )
