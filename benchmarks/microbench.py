@@ -139,9 +139,11 @@ def main():
                    x, (c1.solvable, c0.solvable), k,
                    bytes_per_iter=int(3.3 * cells * fp))
 
-    timed_loop("full v_cycle",
-               lambda x, h, b: mg_mod.v_cycle(h, x, b, config, use_initial_guess=True),
-               x, (hier, b), max(3, k // 4))
+    # The production preconditioner call: x = 0 entry (zero-x fused
+    # downstroke path); the carry feeds b so the loop has a data dep.
+    timed_loop("full v_cycle (preconditioner, x = 0)",
+               lambda b, h: mg_mod.v_cycle(h, jnp.zeros_like(b), b, config),
+               b, (hier,), max(3, k // 4))
 
     # Layout probes: elementwise and stencil cost vs lane-dim alignment.
     for nz in (256, 288, 384):

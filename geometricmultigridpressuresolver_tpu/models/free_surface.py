@@ -356,7 +356,7 @@ def build_setup(
     liquid_phi,
     cut_cell_weights: Sequence,
     solid_phi=None,
-    config: SolverConfig = SolverConfig(),
+    config: SolverConfig | None = None,
     validate: bool = False,
     density=None,
     reuse_from: ProjectionSetup | None = None,
@@ -370,6 +370,10 @@ def build_setup(
     narrow Dirichlet band -- the same linear system as the reference's
     full-grid power-of-two expansion at a fraction of the cell count.
     """
+    # Default resolved at CALL time (not import time), so late
+    # jax_enable_x64 changes are honored by the default config.
+    if config is None:
+        config = SolverConfig()
     validate_density(density)
     validate_fields(liquid_phi, cut_cell_weights, solid_phi=solid_phi)
     sd = config.solve_dtype
@@ -683,10 +687,14 @@ def project(
     velocity: Sequence[jax.Array],
     solid_velocity: Sequence[jax.Array] | None = None,
     old_pressure: jax.Array | None = None,
-    config: SolverConfig = SolverConfig(),
+    config: SolverConfig | None = None,
     mesh=None,
 ) -> ProjectionResult:
     """Steps 5-9: RHS, warm start, MGPCG solve, writeback, audit."""
+    # Default resolved at CALL time (not import time), so late
+    # jax_enable_x64 changes are honored by the default config.
+    if config is None:
+        config = SolverConfig()
     validate_fields(setup.liquid_mask, setup.weights, velocity=velocity)
     sd = config.solve_dtype
     velocity = tuple(jnp.asarray(v, dtype=sd) for v in velocity)

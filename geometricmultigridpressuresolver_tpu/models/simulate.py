@@ -106,7 +106,7 @@ def step(
     gravity: float = -9.8,
     old_pressure: jax.Array | None = None,
     solid_phi: jax.Array | None = None,
-    config: SolverConfig = SolverConfig(),
+    config: SolverConfig | None = None,
     reuse_setup: free_surface.ProjectionSetup | None = None,
 ) -> FrameResult:
     """One frame: advect, apply gravity, rebuild setup, project.
@@ -117,6 +117,10 @@ def step(
     change recompiles the solve (~30-80 s/frame at 128^3 over a remote
     compiler vs <1 s warm).
     """
+    # Default resolved at CALL time (not import time), so late
+    # jax_enable_x64 changes are honored by the default config.
+    if config is None:
+        config = SolverConfig()
     dx = 1.0 / max(liquid_phi.shape)
     velocity = tuple(jnp.asarray(v, dtype=config.solve_dtype) for v in velocity)
     liquid_phi = jnp.asarray(liquid_phi, dtype=config.solve_dtype)
@@ -151,11 +155,15 @@ def run(
     dt: float = 1.0 / 120.0,
     gravity: float = -9.8,
     solid_phi=None,
-    config: SolverConfig = SolverConfig(),
+    config: SolverConfig | None = None,
     on_frame=None,
 ) -> list[FrameResult]:
     """Run `num_frames` steps, warm-starting each solve from the last
     pressure; returns per-frame results (the flipSplash loop)."""
+    # Default resolved at CALL time (not import time), so late
+    # jax_enable_x64 changes are honored by the default config.
+    if config is None:
+        config = SolverConfig()
     frames = []
     pressure = None
     setup = None

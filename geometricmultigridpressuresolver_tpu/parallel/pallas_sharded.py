@@ -147,6 +147,10 @@ def cg_step_sharded(
     )
     if prehaloed_cg is None:
         prehaloed_cg = prehalo_cg_coeffs(coeffs, mesh)
+    if prehaloed_cg is None:
+        # Fully-replicated level: no sharded axes, so "haloed" blocks are
+        # just the arrays themselves.
+        prehaloed_cg = (coeffs.diag, coeffs.ew0, coeffs.ew1, coeffs.ew2)
     beta_arr = jnp.asarray(beta, dtype=z.dtype)
 
     @functools.partial(
@@ -224,6 +228,12 @@ def smooth_level_sharded(
     schedule = pallas_smoother.schedule_for(config, forward)
     if prehaloed is None:
         prehaloed = prehalo_coeffs(coeffs, mesh)
+    if prehaloed is None:
+        # Fully-replicated level (no sharded axes): halos are no-ops.
+        prehaloed = (
+            coeffs.inv_diag, coeffs.ew0, coeffs.ew1, coeffs.ew2,
+            coeffs.band.astype(jnp.int8),
+        )
 
     @functools.partial(
         jax.shard_map,

@@ -130,7 +130,7 @@ def build_hierarchy(
     labels,
     face_weights: Sequence | None,
     mg_levels: int,
-    config: SolverConfig = SolverConfig(),
+    config: SolverConfig | None = None,
     validate: bool = False,
 ) -> MGHierarchy:
     """Hierarchy construction from expanded+relabeled finest labels.
@@ -141,6 +141,10 @@ def build_hierarchy(
     runs on the device under jit; only the (tiny) coarsest-level direct
     solver is assembled on the host.
     """
+    # Default resolved at CALL time (not import time), so late
+    # jax_enable_x64 changes are honored by the default config.
+    if config is None:
+        config = SolverConfig()
     dtype = config.mg_dtype_resolved
     ew_dtype = config.mg_ew_dtype
     target_levels = mg_levels
@@ -318,6 +322,15 @@ def _smooth_level(
 ):
     """boundary^k ; interior ; boundary^k smoothing block.
 
+    `blocks` carries the per-level solve-invariant kernel data from
+    `hierarchy_block_lists` and its MEANING follows `use_pallas`: a
+    compacted active-slab list (bx, by, n_active) for the single-device
+    fused path (use_pallas is True), or the pre-haloed 5-coefficient
+    tuple for the sharded path (use_pallas == "sharded").  Both are
+    tuples of arrays; passing the wrong kind fails inside the kernel
+    machinery, so always source it from `hierarchy_block_lists`, which
+    builds entry i to match level i's flag.
+
     Reference applyVCycle per-level schedule
     (Source/HDK_GeometricMultigridPoissonSolver.cpp:445-513 and 715-783).
     With `use_pallas` the whole pass stack runs as one fused TPU kernel
@@ -398,6 +411,10 @@ def _pallas_level_flags(
     from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
 
     mode = config.kernel_mode
+    # Default resolved at CALL time (not import time), so late
+    # jax_enable_x64 changes are honored by the default config.
+    if config is None:
+        config = SolverConfig()
     nlev = hier.num_levels
     if mode == "jnp" or config.interior_smoother == "chebyshev":
         return (False,) * nlev
@@ -474,7 +491,7 @@ def v_cycle(
     hier: MGHierarchy,
     x: jax.Array,
     b: jax.Array,
-    config: SolverConfig = SolverConfig(),
+    config: SolverConfig | None = None,
     use_initial_guess: bool = False,
     emit_fine_dot: bool = False,
     mesh=None,

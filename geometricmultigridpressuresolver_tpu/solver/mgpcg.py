@@ -39,9 +39,13 @@ def build_problem(
     labels: np.ndarray,
     face_weights: Sequence[np.ndarray] | None,
     mg_levels: int,
-    config: SolverConfig = SolverConfig(),
+    config: SolverConfig | None = None,
     validate: bool = False,
 ) -> PoissonProblem:
+    # Default resolved at CALL time (not import time), so late
+    # jax_enable_x64 changes are honored by the default config.
+    if config is None:
+        config = SolverConfig()
     """Host-side setup from expanded+relabeled labels (+ finest weights)."""
     hier = mg_mod.build_hierarchy(labels, face_weights, mg_levels, config, validate)
     if config.mg_dtype_resolved == config.solve_dtype and config.mg_ew_dtype is None:
@@ -187,7 +191,7 @@ def solve(
     problem: PoissonProblem,
     rhs: jax.Array,
     x0: jax.Array | None = None,
-    config: SolverConfig = SolverConfig(),
+    config: SolverConfig | None = None,
     mesh=None,
     interrupt_check=None,
 ) -> cg_mod.CGResult:
@@ -202,8 +206,14 @@ def solve(
     cancellation (the reference's UT_Interrupt analogue): evaluated on the
     host once per CG iteration; True stops the solve after that iteration.
     Off by default -- the per-iteration host round trip costs latency on
-    remote devices.
+    remote devices.  The callable is a jit-STATIC argument: pass one
+    long-lived function object, not a fresh lambda per call, or every
+    call retraces and recompiles the whole solve program.
     """
+    # Default resolved at CALL time (not import time), so late
+    # jax_enable_x64 changes are honored by the default config.
+    if config is None:
+        config = SolverConfig()
     has_x0 = x0 is not None
     if x0 is None:
         x0 = jnp.zeros_like(rhs)

@@ -166,7 +166,7 @@ def instrumented_solve(
     problem: mgpcg.PoissonProblem,
     rhs: jax.Array,
     x0: jax.Array | None = None,
-    config: SolverConfig = SolverConfig(),
+    config: SolverConfig | None = None,
     print_stats: bool = True,
     printer: Callable[[str], None] = print,
 ) -> tuple[jax.Array, StageTimes]:
@@ -180,6 +180,10 @@ def instrumented_solve(
 
     Returns (solution, stage_times).
     """
+    # Default resolved at CALL time (not import time), so late
+    # jax_enable_x64 changes are honored by the default config.
+    if config is None:
+        config = SolverConfig()
     dtype = config.solve_dtype
     b = rhs.astype(dtype)
     x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
@@ -246,7 +250,7 @@ def instrumented_solve(
 def vcycle_stage_times(
     hier: mg_mod.MGHierarchy,
     b: jax.Array,
-    config: SolverConfig = SolverConfig(),
+    config: SolverConfig | None = None,
     warmup: int = 1,
     reps: int = 3,
 ) -> StageTimes:
@@ -258,6 +262,10 @@ def vcycle_stage_times(
     smooth, each per level.  Stage functions are jitted separately and the
     data flow of a real V-cycle is replayed `reps` times.
     """
+    # Default resolved at CALL time (not import time), so late
+    # jax_enable_x64 changes are honored by the default config.
+    if config is None:
+        config = SolverConfig()
     nlev = hier.num_levels
     dtype = hier.levels[0].diag.dtype
     pallas_ok = mg_mod._pallas_level_flags(hier, config)

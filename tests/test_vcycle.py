@@ -228,7 +228,15 @@ def test_coarse_cholesky_path(monkeypatch):
 
     # End-to-end: the full MGPCG still converges with the chol coarse path.
     problem = mgpcg.build_problem(labels, weights, mg_levels, config)
-    monkeypatch.undo()
+    assert problem.hier.coarse_chol.shape[0] > 0
+    rhs = jnp.asarray(helpers.random_solvable_field(labels, seed=4))
+    result = mgpcg.solve(problem, rhs, config=SolverConfig(tolerance=1e-8))
+    assert bool(result.converged)
+    rel_l2, _ = cg_mod.recomputed_residual_norms(
+        lambda v: stencil.apply_poisson(v, problem.fine),
+        result.x, rhs, problem.fine.solvable,
+    )
+    assert float(rel_l2) < 1e-7
 
 
 def test_coarse_cholesky_fp32_theta_clamped(monkeypatch):
