@@ -602,17 +602,21 @@ class ProjectionResult(NamedTuple):
     pressure: jax.Array
     velocity: tuple[jax.Array, ...]
     cg: cg_mod.CGResult
-    # Post-projection divergence audit: max / accumulated / average over
-    # liquid cells, as printed by the reference
+    # Post-projection divergence audit: max / average over liquid cells, as
+    # printed by the reference
     # (Source/HDK_GeometricFreeSurfacePressureSolver.cpp:704-706).
     max_divergence: jax.Array
-    accumulated_divergence: jax.Array
     avg_divergence: jax.Array
     # Recomputed (not recurrence-drifted) residual diagnostics, as the
     # reference node prints after the solve
     # (Source/HDK_GeometricFreeSurfacePressureSolver.cpp:620-628).
     residual_rel_l2: jax.Array
     residual_linf: jax.Array
+    # Accumulated (summed) divergence, the third number of the reference's
+    # audit line.  Appended last: fields added after the round-1 release go
+    # at the END so positional/index consumers of this public NamedTuple
+    # keep their meaning.
+    accumulated_divergence: jax.Array
 
 
 @functools.partial(
@@ -677,8 +681,8 @@ def _project_impl(
         setup.liquid_mask, new_velocity, setup.weights, solid_velocity
     )
     return ProjectionResult(
-        pressure, new_velocity, cg_result, max_div, total_div, avg_div,
-        rel_l2, linf,
+        pressure, new_velocity, cg_result, max_div, avg_div,
+        rel_l2, linf, total_div,
     )
 
 

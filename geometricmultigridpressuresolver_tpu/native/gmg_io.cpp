@@ -11,7 +11,9 @@
 //
 // Format (little-endian):
 //   magic   "GMGF"            4 bytes
-//   version u32 = 1
+//   version u32 = 2  (v1 accepted on read: same 40-byte layout, but only
+//                     guaranteed from ABIs with 8-byte uint64_t alignment;
+//                     v2 pins the layout with an explicit reserved field)
 //   dtype   u32  (0 = f32, 1 = f64, 2 = i8, 3 = i32)
 //   tile    u32  (tile edge length, 1..4096)
 //   reserved u32 = 0  (alignment; must be written as 0, ignored on read)
@@ -34,7 +36,17 @@
 namespace {
 
 constexpr char kMagic[4] = {'G', 'M', 'G', 'F'};
-constexpr uint32_t kVersion = 1;
+// v1 files lacked the explicit reserved field; on every ABI this library
+// supports (8-byte-aligned uint64_t) the compiler inserted identical
+// padding, so v1 and v2 share the 40-byte layout and both are readable.
+// v1 writers on 4-byte-alignment ABIs (32-bit x86) produced a 36-byte
+// header this layout would misparse -- the version bump exists so such
+// files can never be written again; kMinVersion keeps old valid files
+// loading.
+constexpr uint32_t kVersion = 2;
+constexpr uint32_t kMinVersion = 1;
+
+bool version_ok(uint32_t v) { return v >= kMinVersion && v <= kVersion; }
 
 size_t dtype_size(uint32_t dtype) {
   switch (dtype) {
@@ -143,7 +155,7 @@ int64_t gmg_info(const char* path, int64_t* shape, int32_t* dtype,
   char magic[4];
   Header h;
   if (!read_all(f, magic, 4) || std::memcmp(magic, kMagic, 4) != 0 ||
-      !read_all(f, &h, sizeof(h)) || h.version != kVersion ||
+      !read_all(f, &h, sizeof(h)) || !version_ok(h.version) ||
       dtype_size(h.dtype) == 0 || h.tile == 0 || h.tile > kMaxTile) {
     fclose(f);
     return -4;
@@ -165,7 +177,7 @@ int64_t gmg_load(const char* path, void* out, int64_t nx, int64_t ny,
   char magic[4];
   Header h;
   if (!read_all(f, magic, 4) || std::memcmp(magic, kMagic, 4) != 0 ||
-      !read_all(f, &h, sizeof(h)) || h.version != kVersion ||
+      !read_all(f, &h, sizeof(h)) || !version_ok(h.version) ||
       h.tile == 0 || h.tile > kMaxTile) {
     fclose(f);
     return -4;

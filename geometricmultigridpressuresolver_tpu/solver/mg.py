@@ -410,11 +410,11 @@ def _pallas_level_flags(
     """
     from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
 
-    mode = config.kernel_mode
     # Default resolved at CALL time (not import time), so late
     # jax_enable_x64 changes are honored by the default config.
     if config is None:
         config = SolverConfig()
+    mode = config.kernel_mode
     nlev = hier.num_levels
     if mode == "jnp" or config.interior_smoother == "chebyshev":
         return (False,) * nlev
@@ -503,6 +503,10 @@ def v_cycle(
     constants.  Reference applyVCycle
     (Source/HDK_GeometricMultigridPoissonSolver.cpp:420-881).
     """
+    # Default resolved at CALL time (not import time), so late
+    # jax_enable_x64 changes are honored by the default config.
+    if config is None:
+        config = SolverConfig()
     nlev = hier.num_levels
     dtype = hier.levels[0].diag.dtype
     x = x.astype(dtype)

@@ -42,11 +42,11 @@ def build_problem(
     config: SolverConfig | None = None,
     validate: bool = False,
 ) -> PoissonProblem:
+    """Host-side setup from expanded+relabeled labels (+ finest weights)."""
     # Default resolved at CALL time (not import time), so late
     # jax_enable_x64 changes are honored by the default config.
     if config is None:
         config = SolverConfig()
-    """Host-side setup from expanded+relabeled labels (+ finest weights)."""
     hier = mg_mod.build_hierarchy(labels, face_weights, mg_levels, config, validate)
     if config.mg_dtype_resolved == config.solve_dtype and config.mg_ew_dtype is None:
         # Same precision: the hierarchy's finest level doubles as the CG
