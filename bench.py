@@ -20,6 +20,7 @@ BENCH_REPS (default 3).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -40,7 +41,6 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     import jax.numpy as jnp
-    import numpy as np
 
     from geometricmultigridpressuresolver_tpu.config import SolverConfig
     from geometricmultigridpressuresolver_tpu.models import free_surface, sdf
@@ -69,18 +69,41 @@ def main() -> None:
         },
     )
 
+    # Scene construction as ONE device program: every distinct program
+    # (eager ops included) pays seconds of dispatch/load overhead through
+    # the remote-compile tunnel, so setup cost is program-count-bound.
     t0 = time.time()
-    liquid_phi, velocity = sdf.splash_scene((n, n, n), xp=jnp)
-    weights = sdf.open_box_weights((n, n, n), xp=jnp)
-    setup = free_surface.build_setup(liquid_phi, weights, config=config)
-    log(f"setup (host) in {time.time() - t0:.1f}s; expanded {setup.expanded_shape}")
 
-    ndof = int(np.asarray(setup.problem.fine.solvable).sum())
+    @jax.jit
+    def _scene():
+        liquid_phi, velocity = sdf.splash_scene((n, n, n), xp=jnp)
+        weights = sdf.open_box_weights((n, n, n), xp=jnp)
+        velocity = tuple(jnp.asarray(v, dtype=jnp.float32) for v in velocity)
+        return liquid_phi, velocity, weights
+
+    liquid_phi, velocity, weights = jax.block_until_ready(_scene())
+    t_scene, t0 = time.time() - t0, time.time()
+    setup = free_surface.build_setup(liquid_phi, weights, config=config)
+    jax.block_until_ready(setup.problem)
+    log(
+        f"setup in {time.time() - t0:.1f}s (+scene {t_scene:.1f}s); "
+        f"expanded {setup.expanded_shape}"
+    )
+
+    ndof = int(jax.jit(lambda s: s.sum())(setup.problem.fine.solvable))
     log(f"liquid DOFs: {ndof:,}")
 
-    velocity = tuple(jnp.asarray(v, dtype=jnp.float32) for v in velocity)
-    rhs_base = free_surface.negative_divergence(setup.liquid_mask, velocity, setup.weights)
-    rhs = free_surface._embed(rhs_base, setup)
+    @functools.partial(jax.jit, static_argnames=("base_pads", "expanded_shape"))
+    def _rhs(liquid_mask, velocity, weights, window_start, base_pads, expanded_shape):
+        rhs_base = free_surface.negative_divergence(liquid_mask, velocity, weights)
+        return free_surface.embed_window(
+            rhs_base, window_start, base_pads, expanded_shape
+        )
+
+    rhs = _rhs(
+        setup.liquid_mask, velocity, setup.weights, setup.window_start,
+        setup.base_pads, setup.expanded_shape,
+    )
 
     # Warmup/compile.
     t0 = time.time()

@@ -119,6 +119,13 @@ class SolverConfig:
     # liquid bbox keeps fitting the previous frame's window shape; see
     # free_surface.build_setup(reuse_from=...).
     window_slack: int = 1
+    # Record the relative residual of EVERY CG iteration into
+    # CGResult.residual_history (a fixed (max_iterations + 1,) buffer;
+    # entries past the exit iteration stay NaN).  The reference prints
+    # this trace per iteration (Source/HDK_GeometricCGPoissonSolver.h:159);
+    # here it is an opt-in device buffer so the production while-loop solve
+    # keeps convergence forensics without per-iteration host traffic.
+    record_residuals: bool = False
 
     @property
     def mg_dtype_resolved(self):

@@ -237,10 +237,19 @@ def run_conjugate_gradient_test(
     tolerance: float = 1e-5,
     max_iterations: int = 1000,
     solve_dtype=None,
+    dx: float | None = None,
 ) -> dict:
     """Full MGPCG (or diag-PCG) vs a scipy-assembled CG oracle on the same
     labels.  Reference testConjugateGradient
     (Source/HDK_TestGeometricMultigrid.cpp:675-1165); scipy replaces Eigen.
+
+    `dx` exercises the dimensionless-operator convention a physical caller
+    must use (reference cpp:792-794, 1003-1009): the physical RHS is scaled
+    by dx^2 going into the solver, and the reported L-inf residual is
+    scaled back by 1/dx^2 on the way out.  The RELATIVE residual and the
+    solution agreement are invariant to this scaling -- that invariance IS
+    the round trip being demonstrated.  None (default) solves the
+    dimensionless system directly (dx = 1).
 
     Returns relative-L2/L-inf residuals of both solves and their agreement.
     """
@@ -261,9 +270,12 @@ def run_conjugate_gradient_test(
     problem = mgpcg.build_problem(labels, exp_weights, mg_levels, config)
     solvable = np.asarray(problem.fine.solvable)
 
-    rhs = delta_spike_rhs(
+    rhs_physical = delta_spike_rhs(
         labels.shape, solvable=solvable, offset=offset, base_shape=base.shape
     )
+    dx2 = 1.0 if dx is None else float(dx) ** 2
+    # RHS scaled by dx^2 going in (reference cpp:792-794).
+    rhs = rhs_physical * dx2
     x0 = random_initial_guess(labels, seed=3) if use_random_guess else None
 
     t0 = time.time()
@@ -285,6 +297,9 @@ def run_conjugate_gradient_test(
             problem.fine.solvable,
         )
     )
+    # L-inf residual reported in PHYSICAL units: scaled back by 1/dx^2
+    # (reference cpp:1003-1009).  The relative norm cancels the scaling.
+    linf /= dx2
 
     t0 = time.time()
     oracle_x = assembled.solve_assembled(
@@ -546,6 +561,11 @@ def main(argv=None):
     )
     p.add_argument("--tolerance", type=float, default=1e-5)
     p.add_argument("--max-iterations", type=int, default=1000)
+    p.add_argument(
+        "--dx", type=float, default=None,
+        help="grid spacing for the dx^2 RHS-scaling round trip "
+        "(reference HDK_TestGeometricMultigrid.cpp:792-794)",
+    )
     p.add_argument("--num-cycles", type=int, default=50)
     p.add_argument("--max-smoother-iterations", type=int, default=20)
     args = p.parse_args(argv)
@@ -563,6 +583,7 @@ def main(argv=None):
             use_random_guess=args.use_random_initial_guess,
             tolerance=args.tolerance,
             max_iterations=args.max_iterations,
+            dx=args.dx,
         )
         print("== testConjugateGradient ==")
         for k, v in r.items():

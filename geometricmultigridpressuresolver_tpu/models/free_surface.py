@@ -293,6 +293,48 @@ def _jitted():
     return _setup_base_jit, _expand_window_jit
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "base_pads", "expanded_shape", "target_levels", "boundary_width",
+        "mg_dtype", "ew_dtype", "fine_dtype", "fine_full",
+    ),
+)
+def _expand_build_device(
+    window_labels,
+    mg_weights,
+    window_start,
+    base_pads,
+    expanded_shape,
+    target_levels: int,
+    boundary_width: int,
+    mg_dtype,
+    ew_dtype,
+    fine_dtype,
+    fine_full: bool,
+):
+    """Window expansion + EVERY hierarchy level + the fine CG operator as
+    ONE compiled program.
+
+    Setup cost through a remote-compile tunnel is dominated by the number
+    of distinct programs dispatched, not by FLOPs (each program pays
+    seconds of executable-load/dispatch overhead even fully warm --
+    BENCH_r02 post-mortem: 279 s warm / 762 s cold setup from ~10 device
+    programs plus eager ops).  This program plus _setup_base_fields plus
+    the coarse densify/invert makes THREE total.
+    """
+    from geometricmultigridpressuresolver_tpu.solver import mg as mg_mod
+
+    labels, exp_weights = _expand_window_fields(
+        window_labels, mg_weights, window_start, base_pads, expanded_shape
+    )
+    levels, flags, label_levels, fine = mg_mod._build_levels_traced(
+        labels, tuple(exp_weights), target_levels, boundary_width,
+        mg_dtype, ew_dtype, fine_dtype, fine_full,
+    )
+    return labels, exp_weights, levels, flags, label_levels, fine
+
+
 def validate_fields(
     liquid_phi, cut_cell_weights, velocity=None, solid_phi=None
 ) -> None:
@@ -472,8 +514,20 @@ def build_setup(
     ]
     window_start = jnp.asarray(start_host, dtype=jnp.int32)
 
-    labels, exp_weights = expand_window(
-        window_labels, mg_weights, window_start, base_pads, tuple(expanded_shape)
+    # Expansion + hierarchy + fine CG operator: ONE device program (plus
+    # the coarse direct solve's densify program inside _finish_hierarchy).
+    from geometricmultigridpressuresolver_tpu.solver import mg as mg_mod
+
+    mg_dtype, fine_dtype, fine_full = mgpcg.fine_plan(config)
+    target_levels = mg_levels
+    if config.max_mg_levels is not None:
+        target_levels = min(target_levels, config.max_mg_levels)
+    labels, exp_weights, levels, flags, label_levels, fine = (
+        _expand_build_device(
+            window_labels, mg_weights, window_start, base_pads,
+            tuple(expanded_shape), target_levels, config.boundary_width,
+            mg_dtype, config.mg_ew_dtype, fine_dtype, fine_full,
+        )
     )
 
     if validate:
@@ -482,7 +536,11 @@ def build_setup(
         assert domain_ops.check_boundary_cells(labels_np, exp_w_np)
         assert domain_ops.check_exterior_shell(labels_np)
 
-    problem = mgpcg.build_problem(labels, exp_weights, mg_levels, config, validate)
+    hier = mg_mod._finish_hierarchy(
+        levels, flags, label_levels, config, validate=validate,
+        host_fw=tuple(exp_weights),
+    )
+    problem = mgpcg._finish_problem(hier, fine, fine_full)
     return ProjectionSetup(
         problem=problem,
         material=material,

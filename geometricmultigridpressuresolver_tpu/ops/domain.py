@@ -223,9 +223,17 @@ def align_tile_extents(expanded, padding: int):
     occupancy-compacted kernels skip it.
 
     Idempotent; preserves the multiple-of-`padding` invariant the
-    coarsening needs (the adjustments are multiples of 128 >= any
-    practical padding).
+    coarsening needs because the adjustments are multiples of 128 and
+    `padding` (a power of two, 2**(mg_levels-1)) divides 128.  That
+    divisibility is ASSERTED: with padding > 128 (min extent >= 1024
+    uncapped, or coarse_dof_target pushed very low) the 128-rounding would
+    silently break the invariant and the hierarchy would cap early at an
+    odd extent instead.
     """
+    assert 128 % padding == 0, (
+        f"lane alignment requires padding ({padding}) to divide 128; "
+        "cap mg levels (config.max_mg_levels) or raise coarse_dof_target"
+    )
     out = list(expanded)
     if out[2] >= 96:
         out[2] = ((out[2] + 127) // 128) * 128
@@ -278,6 +286,10 @@ def coarse_lane_pad(fine_nz: int) -> int:
     smoother, whose HBM DMA requires 128-aligned lane slices.  Applied only
     when the fine level is already lane-aligned and the half is large
     enough that the pad is small relative to the level.
+
+    The padded extent is a multiple of 128, so it stays coarsenable for up
+    to 7 further levels (2**7 = 128) -- deeper-than-8 hierarchies are
+    excluded by the align_tile_extents assertion (padding must divide 128).
     """
     cz = fine_nz // 2
     if fine_nz % 128 == 0 and cz >= 128 and cz % 128:

@@ -178,6 +178,49 @@ def cg_step_sharded(
     return run(z, p, beta_arr, *prehaloed_cg)
 
 
+def update_norm_sharded(
+    x: jax.Array,
+    p: jax.Array,
+    r: jax.Array,
+    ap: jax.Array,
+    alpha,
+    config,
+    mesh,
+    interpret: bool = False,
+):
+    """Sharded fused outer-CG tail: x + alpha p, r - alpha Ap, ||r'||^2.
+
+    Purely elementwise, so NO halo exchange at all: each device runs
+    ops.pallas_cg.fused_update_norm on its bare block with shell=0 (a
+    sharded block has no dead border) and the squared norm partials
+    psum-reduce over the sharded axes -- the only communication.
+    """
+    spec = _level_spec(mesh, x.shape)
+    sharded_axes = _sharded_axes_for(mesh, spec)
+    axis_names = tuple(name for _, name, _ in sharded_axes)
+    alpha_arr = jnp.asarray(alpha, dtype=x.dtype)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec, PartitionSpec()),
+        out_specs=(spec, spec, PartitionSpec()),
+        check_vma=False,
+    )
+    def run(x_blk, p_blk, r_blk, ap_blk, alpha_s):
+        from geometricmultigridpressuresolver_tpu.ops import pallas_cg
+
+        xn, rn, rr = pallas_cg.fused_update_norm(
+            x_blk, p_blk, r_blk, ap_blk, alpha_s,
+            block_t=config.pallas_block_t, block_y=config.pallas_block_y,
+            interpret=interpret, shell=0,
+        )
+        rr = jax.lax.psum(rr.reshape(()), axis_names)
+        return xn, rn, rr
+
+    return run(x, p, r, ap, alpha_arr)
+
+
 def prehalo_cg_coeffs(coeffs, mesh):
     """Pre-halo the CG operator's constant arrays (diag, ew0..2) once per
     solve, as `prehalo_coeffs` does for the smoother's."""
@@ -210,6 +253,9 @@ def smooth_level_sharded(
     mesh,
     interpret: bool = False,
     prehaloed=None,
+    emit_dot: bool = False,
+    x_is_zero: bool = False,
+    emit_residual: bool = False,
 ):
     """Drop-in sharded replacement for solver.mg._smooth_level.
 
@@ -218,6 +264,16 @@ def smooth_level_sharded(
     `prehaloed` is the per-solve coefficient-halo cache from
     `prehalo_coeffs`; without it the coefficients are exchanged here
     (correct but 7 exchanged arrays per call instead of 2).
+
+    The round-2 single-device fusions apply blockwise (VERDICT r2 #3):
+    `x_is_zero` skips both the x halo exchange AND the kernel's x streaming
+    on the first chunk (halos of zero are zero); `emit_residual` rides the
+    final chunk and returns the level residual with the smoothed x (same
+    ring-budget rule as fused_smooth -- each haloed block IS a
+    single-device problem whose shells are the halo); `emit_dot` returns
+    <x_out, b> psum-reduced over the sharded axes (a fixed reduction tree:
+    in-slab partials in slab order per device, then the deterministic XLA
+    collective).
     """
     spec = _level_spec(mesh, x.shape)
     sharded_axes = _sharded_axes_for(mesh, spec)
@@ -234,12 +290,19 @@ def smooth_level_sharded(
             coeffs.inv_diag, coeffs.ew0, coeffs.ew1, coeffs.ew2,
             coeffs.band.astype(jnp.int8),
         )
+    axis_names = tuple(name for _, name, _ in sharded_axes)
+
+    out_specs = (spec,)
+    if emit_residual:
+        out_specs = out_specs + (spec,)
+    if emit_dot:
+        out_specs = out_specs + (PartitionSpec(),)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(spec,) * 7,
-        out_specs=spec,
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
         check_vma=False,
     )
     def run(x_blk, b_blk, invdh, e0h, e1h, e2h, bandh):
@@ -249,15 +312,45 @@ def smooth_level_sharded(
         # pre-haloed (constant across the whole solve).
         bh = exchange_halos(b_blk, H, sharded_axes)
         xh = x_blk
-        for start in range(0, len(schedule), H):
+        starts = list(range(0, len(schedule), H))
+        residual = dot = None
+        for start in starts:
             chunk = schedule[start : start + H]
-            xh = exchange_halos(xh, H, sharded_axes)
-            xh = pallas_smoother.fused_smooth(
+            first, last = start == 0, start == starts[-1]
+            zero_x = x_is_zero and first
+            if zero_x:
+                # x == 0 globally: its halo is zero too, so build the
+                # haloed block directly -- NO ppermute (and the kernel
+                # never streams it; only the shape matters).
+                hshape = list(x_blk.shape)
+                for a, _, _ in sharded_axes:
+                    hshape[a] += 2 * H
+                xh = jnp.zeros(tuple(hshape), dtype=x_blk.dtype)
+            else:
+                xh = exchange_halos(xh, H, sharded_axes)
+            out = pallas_smoother.fused_smooth(
                 xh, bh, invdh, e0h, e1h, e2h, bandh,
                 chunk, config.jacobi_damping,
                 block_t=config.pallas_block_t, block_y=config.pallas_block_y,
                 interpret=interpret,
-            )[core_slices]
-        return xh
+                emit_dot=emit_dot and last,
+                emit_residual=emit_residual and last,
+                zero_x=zero_x,
+            )
+            if last:
+                out = out if isinstance(out, tuple) else (out,)
+                xh = out[0][core_slices]
+                if emit_residual:
+                    residual = out[1][core_slices]
+                if emit_dot:
+                    dot = jax.lax.psum(out[-1].reshape(()), axis_names)
+            else:
+                xh = out[core_slices]
+        result = (xh,)
+        if emit_residual:
+            result = result + (residual,)
+        if emit_dot:
+            result = result + (dot,)
+        return result if len(result) > 1 else result[0]
 
     return run(x, b, *prehaloed)

@@ -28,6 +28,13 @@ class CGResult(NamedTuple):
     iterations: jax.Array       # int32
     relative_residual: jax.Array  # ||r|| / ||b|| at exit (drifted recurrence)
     converged: jax.Array        # bool
+    # Per-iteration relative residual trace, opt-in via record_residuals
+    # (the reference prints this line every iteration,
+    # Source/HDK_GeometricCGPoissonSolver.h:159).  When enabled: a fixed
+    # (max_iterations + 1,) device buffer, entry i = ||r_i|| / ||b||,
+    # entries past the exit iteration NaN.  None when not recording (the
+    # default), so the production pytree carries no extra leaf.
+    residual_history: jax.Array | None = None
 
 
 def _interrupt_flag(interrupt_check, iteration):
@@ -58,6 +65,23 @@ class _State(NamedTuple):
     rr: jax.Array
     iteration: jax.Array
     interrupted: jax.Array
+    history: jax.Array  # (max_iterations + 1,) squared norms, or (0,)
+
+
+def _history_init(rr0, max_iterations: int, record: bool, dtype):
+    """Fixed-length ||r||^2 trace buffer; (0,)-shaped when not recording."""
+    if not record:
+        return jnp.zeros((0,), dtype=dtype)
+    h = jnp.full((max_iterations + 1,), jnp.nan, dtype=dtype)
+    return h.at[0].set(rr0)
+
+
+def _history_finish(history, b_norm2, record: bool):
+    """Squared-norm trace -> relative-residual trace (None if disabled)."""
+    if not record:
+        return None
+    safe = jnp.where(b_norm2 == 0, jnp.ones_like(b_norm2), b_norm2)
+    return jnp.sqrt(history / safe)
 
 
 def solve_pcg(
@@ -70,6 +94,7 @@ def solve_pcg(
     max_iterations: int = 2500,
     project_null_space: bool = False,
     interrupt_check: Callable[[int], bool] | None = None,
+    record_residuals: bool = False,
 ) -> CGResult:
     """PCG solve of A x = b over the solvable set.  Pure and jittable.
 
@@ -77,6 +102,8 @@ def solve_pcg(
     cancellation (reference UT_Interrupt): checked on the host once per
     iteration; returning True stops the loop after the current iteration
     with the best solution so far (`converged` stays False).
+
+    `record_residuals` fills CGResult.residual_history (see CGResult).
     """
     dtype = b.dtype
     x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
@@ -116,9 +143,17 @@ def solve_pcg(
             if interrupt_check is not None
             else s.interrupted
         )
-        return _State(x, r, p, rho_new, rr, s.iteration + 1, interrupted)
+        history = (
+            s.history.at[s.iteration + 1].set(rr)
+            if record_residuals
+            else s.history
+        )
+        return _State(x, r, p, rho_new, rr, s.iteration + 1, interrupted, history)
 
-    init = _State(x, r, z, rho0, rr0, jnp.int32(0), jnp.bool_(False))
+    init = _State(
+        x, r, z, rho0, rr0, jnp.int32(0), jnp.bool_(False),
+        _history_init(rr0, max_iterations, record_residuals, dtype),
+    )
     final = jax.lax.while_loop(cond, body, init)
 
     # Zero-RHS early-out (reference HDK_GeometricCGPoissonSolver.h:36-40):
@@ -131,7 +166,10 @@ def solve_pcg(
     rel = jnp.where(zero_rhs, jnp.zeros_like(rel), rel)
     converged = zero_rhs | (final.rr <= threshold)
     iterations = jnp.where(zero_rhs, jnp.int32(0), final.iteration)
-    return CGResult(x_out, iterations, rel, converged)
+    return CGResult(
+        x_out, iterations, rel, converged,
+        _history_finish(final.history, b_norm2, record_residuals),
+    )
 
 
 def solve_pcg_fused(
@@ -146,6 +184,8 @@ def solve_pcg_fused(
     project_null_space: bool = False,
     preconditioner_dot: Callable[[jax.Array], tuple] | None = None,
     interrupt_check: Callable[[int], bool] | None = None,
+    record_residuals: bool = False,
+    update_norm: Callable | None = None,
 ) -> CGResult:
     """PCG with a fused search-direction/mat-vec/dot step.
 
@@ -157,9 +197,14 @@ def solve_pcg_fused(
     `preconditioner_dot(r) -> (z, <r, z>)` optionally fuses the rho
     reduction into the preconditioner (ignored under null-space projection,
     which must project z before the dot).
+    `update_norm(x, p, r, ap, alpha) -> (x', r', ||r'||^2)` optionally
+    fuses the solution/residual update and the exit-test norm into one
+    pass (ops.pallas_cg.fused_update_norm); also ignored under null-space
+    projection, which must project r before the norm.
     """
     if project_null_space:
         preconditioner_dot = None
+        update_norm = None
     if preconditioner_dot is None:
         def preconditioner_dot(r):
             z = apply_preconditioner(r)
@@ -190,6 +235,7 @@ def solve_pcg_fused(
         rr: jax.Array
         iteration: jax.Array
         interrupted: jax.Array
+        history: jax.Array
 
     def cond(s):
         return (
@@ -202,25 +248,36 @@ def solve_pcg_fused(
         p, ap, pap = step_p(s.z, s.p, s.beta)
         pap = pap.reshape(()).astype(dtype)
         alpha = s.rho / jnp.where(pap == 0, jnp.ones_like(pap), pap)
-        x = s.x + alpha * p
-        r = project(jnp.where(solvable, s.r - alpha * ap, s.r))
+        if update_norm is not None:
+            x, r, rr = update_norm(s.x, p, s.r, ap, alpha)
+            rr = rr.reshape(()).astype(dtype)
+        else:
+            x = s.x + alpha * p
+            r = project(jnp.where(solvable, s.r - alpha * ap, s.r))
+            rr = blas.squared_l2_norm(r, solvable)
         z, rho_new = preconditioner_dot(r)
         z = project(z)
         rho_new = rho_new.reshape(()).astype(dtype)
         beta = rho_new / jnp.where(s.rho == 0, jnp.ones_like(s.rho), s.rho)
-        rr = blas.squared_l2_norm(r, solvable)
         interrupted = (
             _interrupt_flag(interrupt_check, s.iteration + 1)
             if interrupt_check is not None
             else s.interrupted
         )
+        history = (
+            s.history.at[s.iteration + 1].set(rr)
+            if record_residuals
+            else s.history
+        )
         return _FState(
-            x, r, z, p, rho_new, beta, rr, s.iteration + 1, interrupted
+            x, r, z, p, rho_new, beta, rr, s.iteration + 1, interrupted,
+            history,
         )
 
     init = _FState(
         x, r, z, z, rho0, jnp.zeros_like(rho0), rr0, jnp.int32(0),
         jnp.bool_(False),
+        _history_init(rr0, max_iterations, record_residuals, dtype),
     )
     final = jax.lax.while_loop(cond, body, init)
 
@@ -231,7 +288,10 @@ def solve_pcg_fused(
     rel = jnp.where(zero_rhs, jnp.zeros_like(rel), rel)
     converged = zero_rhs | (final.rr <= threshold)
     iterations = jnp.where(zero_rhs, jnp.int32(0), final.iteration)
-    return CGResult(x_out, iterations, rel, converged)
+    return CGResult(
+        x_out, iterations, rel, converged,
+        _history_finish(final.history, b_norm2, record_residuals),
+    )
 
 
 def recomputed_residual_norms(apply_a, x, b, solvable):

@@ -67,9 +67,8 @@ class MGHierarchy(NamedTuple):
         return len(self.levels)
 
 
-@functools.partial(jax.jit, static_argnames=("boundary_width", "dtype", "ew_dtype"))
-def _device_coeffs(labels, face_weights, boundary_width: int, dtype, ew_dtype=None):
-    """Build one level's stencil coefficients on device.
+def _level_coeffs_traced(labels, face_weights, boundary_width: int, dtype, ew_dtype):
+    """One level's LevelCoeffs (pure traced helper; no jit boundary).
 
     `ew_dtype` optionally narrows the storage of the off-diagonal edge
     weights (config.mg_ew_dtype): unit weights stay exact, and quantizing
@@ -93,13 +92,84 @@ def _device_coeffs(labels, face_weights, boundary_width: int, dtype, ew_dtype=No
     )
 
 
-@functools.partial(jax.jit, static_argnames=("boundary_width", "dtype", "ew_dtype"))
-def _device_level(labels, face_weights, boundary_width: int, dtype, ew_dtype=None):
-    """Build one level's coefficients + the next-coarser labels, on device."""
-    coeffs = _device_coeffs(labels, face_weights, boundary_width, dtype, ew_dtype)
-    coarse = domain_ops.coarsen_labels(labels, lane_align=True)
-    has_dofs = domain_ops.is_solvable(coarse).any()
-    return coeffs, coarse, has_dofs
+def _build_levels_traced(
+    labels,
+    face_weights,
+    target_levels: int,
+    boundary_width: int,
+    dtype,
+    ew_dtype=None,
+    fine_dtype=None,
+    fine_full: bool = False,
+):
+    """EVERY level's coefficients + capping flags as ONE traced computation.
+
+    The round-2 setup compiled and dispatched one program per level
+    (`_device_level` x nlev); through a remote-compile tunnel each distinct
+    program pays seconds of load/dispatch overhead even fully warm (the
+    762 s / 279 s cold/warm setup of BENCH_r02).  Tracing the whole level
+    loop into one program makes setup cost one dispatch; shapes shrink 8x
+    per level, so the merged HLO is only ~15% bigger than the finest
+    level's alone.
+
+    `fine_dtype` additionally emits the finest-level CG operator in the
+    solve dtype inside the SAME program: the full LevelCoeffs when
+    `fine_full`, else just the three edge-weight arrays (the caller shares
+    solvable/band/diag/inv_diag with levels[0], which are bit-identical
+    when only the edge-weight storage dtype differs -- see
+    mgpcg.build_problem).
+
+    Returns (levels, flags, label_levels, fine) -- all pytrees of device
+    arrays when called under jit.
+    """
+    cur = labels
+    label_levels = [cur]
+    levels = []
+    flags = []
+    for i in range(target_levels):
+        fw_i = face_weights if i == 0 else None
+        # The compact domain only guarantees even extents down to the
+        # coarsest level; never coarsen past an odd extent (or the cap).
+        can_coarsen = i + 1 < target_levels and all(s % 2 == 0 for s in cur.shape)
+        levels.append(
+            _level_coeffs_traced(cur, fw_i, boundary_width, dtype, ew_dtype)
+        )
+        if not can_coarsen:
+            break
+        coarse = domain_ops.coarsen_labels(cur, lane_align=True)
+        flags.append(domain_ops.is_solvable(coarse).any())
+        cur = coarse
+        label_levels.append(cur)
+
+    fine = None
+    if fine_dtype is not None:
+        fc = _level_coeffs_traced(labels, face_weights, boundary_width, fine_dtype, None)
+        fine = fc if fine_full else (fc.ew0, fc.ew1, fc.ew2)
+    return tuple(levels), tuple(flags), tuple(label_levels), fine
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "target_levels", "boundary_width", "dtype", "ew_dtype", "fine_dtype",
+        "fine_full",
+    ),
+)
+def _device_hierarchy(
+    labels,
+    face_weights,
+    target_levels: int,
+    boundary_width: int,
+    dtype,
+    ew_dtype=None,
+    fine_dtype=None,
+    fine_full: bool = False,
+):
+    """All hierarchy levels in ONE compiled program (see _build_levels_traced)."""
+    return _build_levels_traced(
+        labels, face_weights, target_levels, boundary_width, dtype, ew_dtype,
+        fine_dtype, fine_full,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("nd_pad",))
@@ -158,31 +228,29 @@ def build_hierarchy(
         else tuple(jnp.asarray(w, dtype=dtype) for w in face_weights)
     )
 
-    # Build every level without host synchronization (each bool(has_dofs)
-    # round trip costs real latency on remote devices); ONE device_get at
-    # the end fetches the capping flags plus the coarsest labels.
-    label_levels = [cur]
-    levels = []
-    flags = []
-    for i in range(target_levels):
-        fw_i = fw if i == 0 else None
-        # The compact domain only guarantees even extents down to the
-        # coarsest level; never coarsen past an odd extent (or the cap).
-        can_coarsen = i + 1 < target_levels and all(
-            s % 2 == 0 for s in cur.shape
-        )
-        if not can_coarsen:
-            levels.append(
-                _device_coeffs(cur, fw_i, config.boundary_width, dtype, ew_dtype)
-            )
-            break
-        coeffs, coarse, has_dofs = _device_level(
-            cur, fw_i, config.boundary_width, dtype, ew_dtype
-        )
-        levels.append(coeffs)
-        flags.append(has_dofs)
-        cur = coarse
-        label_levels.append(cur)
+    # Build every level in ONE device program (one dispatch, one compile;
+    # see _build_levels_traced), then finish on the host.
+    levels, flags, label_levels, _ = _device_hierarchy(
+        cur, fw, target_levels, config.boundary_width, dtype, ew_dtype
+    )
+    return _finish_hierarchy(
+        levels, flags, label_levels, config, validate=validate, host_fw=fw
+    )
+
+
+def _finish_hierarchy(
+    levels,
+    flags,
+    label_levels,
+    config: SolverConfig,
+    validate: bool = False,
+    host_fw=None,
+) -> MGHierarchy:
+    """Host side of hierarchy construction: level capping and the coarsest
+    direct solver, from the device outputs of _device_hierarchy."""
+    dtype = config.mg_dtype_resolved
+    levels = list(levels)
+    label_levels = list(label_levels)
 
     # One round trip: the capping flags plus the (tiny) coarsest labels.
     # Device->host bandwidth is precious on remote/tunneled devices, so the
@@ -199,7 +267,7 @@ def build_hierarchy(
 
     if validate:
         label_host = jax.device_get(label_levels)
-        host_fw = None if fw is None else [np.asarray(w) for w in fw]
+        host_fw = None if host_fw is None else [np.asarray(w) for w in host_fw]
         assert domain_ops.check_exterior_shell(label_host[0])
         assert domain_ops.check_boundary_cells(label_host[0], host_fw)
         for fine, coarse_lv in zip(label_host, label_host[1:]):
@@ -352,16 +420,13 @@ def _smooth_level(
             return x, blas.dot(x, b, c.solvable).astype(jnp.float32)
         return x
     if use_pallas == "sharded":
-        from geometricmultigridpressuresolver_tpu.ops import blas
         from geometricmultigridpressuresolver_tpu.parallel import pallas_sharded
 
-        x = pallas_sharded.smooth_level_sharded(
+        return pallas_sharded.smooth_level_sharded(
             x, b, c, config, forward, mesh, prehaloed=blocks,
-            interpret=config.pallas_interpret,
+            interpret=config.pallas_interpret, emit_dot=emit_dot,
+            x_is_zero=x_is_zero, emit_residual=emit_residual,
         )
-        if emit_dot:
-            return x, blas.dot(x, b, c.solvable).astype(jnp.float32)
-        return x
     if use_pallas:
         from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
 
@@ -543,14 +608,15 @@ def v_cycle(
         # collapsing the smooth -> residual pair into one HBM round trip.
         x_zero = level > 0 or not use_initial_guess
         fuse_residual = False
-        if pallas_ok[level] is True and x_zero:
+        if pallas_ok[level] in (True, "sharded") and x_zero:
             from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
 
             fuse_residual = pallas_smoother.residual_fusable(config, forward=True)
         if fuse_residual:
             xl, r = _smooth_level(
                 xl, rhs[level], c, config, forward=True,
-                use_pallas=True, mesh=mesh, blocks=block_lists[level],
+                use_pallas=pallas_ok[level], mesh=mesh,
+                blocks=block_lists[level],
                 x_is_zero=True, emit_residual=True,
             )
         else:

@@ -35,6 +35,19 @@ class PoissonProblem(NamedTuple):
     hier: mg_mod.MGHierarchy        # V-cycle hierarchy in mg dtype
 
 
+def fine_plan(config: SolverConfig):
+    """(mg_dtype, fine_dtype, fine_full): which extra finest-level CG
+    operator pieces the setup device program must emit.  None/False means
+    the hierarchy's finest level is shared as-is; a fine_dtype with
+    fine_full=False emits just the solve-dtype edge weights (only the ew
+    storage narrows); fine_full emits the full coefficient set (distinct
+    MG precision)."""
+    dtype = config.mg_dtype_resolved
+    same = dtype == config.solve_dtype
+    fine_dtype = None if (same and config.mg_ew_dtype is None) else config.solve_dtype
+    return dtype, fine_dtype, not same
+
+
 def build_problem(
     labels: np.ndarray,
     face_weights: Sequence[np.ndarray] | None,
@@ -42,34 +55,63 @@ def build_problem(
     config: SolverConfig | None = None,
     validate: bool = False,
 ) -> PoissonProblem:
-    """Host-side setup from expanded+relabeled labels (+ finest weights)."""
+    """Host-side setup from expanded+relabeled labels (+ finest weights).
+
+    ALL device array work -- every hierarchy level plus the finest-level CG
+    operator -- runs as ONE compiled program (mg._device_hierarchy): through
+    a remote-compile tunnel every distinct program pays seconds of
+    load/dispatch overhead even when fully warm, so setup cost is dominated
+    by program COUNT, not FLOPs (BENCH_r02 post-mortem: 279 s warm setup).
+    """
     # Default resolved at CALL time (not import time), so late
     # jax_enable_x64 changes are honored by the default config.
     if config is None:
         config = SolverConfig()
-    hier = mg_mod.build_hierarchy(labels, face_weights, mg_levels, config, validate)
-    if config.mg_dtype_resolved == config.solve_dtype and config.mg_ew_dtype is None:
-        # Same precision: the hierarchy's finest level doubles as the CG
-        # operator (saves one full-resolution coefficient set).
-        fine = hier.levels[0]
+    dtype, fine_dtype, fine_full = fine_plan(config)
+    sd = config.solve_dtype
+    target_levels = mg_levels
+    if config.max_mg_levels is not None:
+        target_levels = min(target_levels, config.max_mg_levels)
+
+    lab = jnp.asarray(labels)
+    # Weights ship in the WIDER solve dtype; each level's builder narrows
+    # internally (build_level_coefficients astypes per level), which is
+    # value-identical to pre-casting on the host.
+    fw = (
+        None
+        if face_weights is None
+        else tuple(jnp.asarray(w, dtype=sd) for w in face_weights)
+    )
+    levels, flags, label_levels, fine = mg_mod._device_hierarchy(
+        lab, fw, target_levels, config.boundary_width, dtype,
+        config.mg_ew_dtype, fine_dtype, fine_full,
+    )
+    hier = mg_mod._finish_hierarchy(
+        levels, flags, label_levels, config, validate=validate, host_fw=fw
+    )
+    return _finish_problem(hier, fine, fine_full)
+
+
+def _finish_problem(
+    hier: mg_mod.MGHierarchy, fine, fine_full: bool
+) -> PoissonProblem:
+    """Attach the finest-level CG operator to the hierarchy (host side).
+
+    `fine` is the optional extra output of mg._device_hierarchy: None
+    (share the finest MG level outright), an (ew0, ew1, ew2) triple (share
+    solvable/band/diag/inv_diag -- bit-identical when only the edge-weight
+    storage dtype differs -- saving ~10 B/cell of HBM), or a full
+    LevelCoeffs (distinct MG precision).
+    """
+    if fine is None:
+        fine_coeffs = hier.levels[0]
+    elif fine_full:
+        fine_coeffs = fine
     else:
-        fw = (
-            None
-            if face_weights is None
-            else tuple(jnp.asarray(w, dtype=config.solve_dtype) for w in face_weights)
+        fine_coeffs = hier.levels[0]._replace(
+            ew0=fine[0], ew1=fine[1], ew2=fine[2]
         )
-        fine, _, _ = mg_mod._device_level(
-            jnp.asarray(labels), fw, config.boundary_width, config.solve_dtype
-        )
-        if config.mg_dtype_resolved == config.solve_dtype:
-            # Only the edge-weight storage differs (mg_ew_dtype narrowing):
-            # solvable/band/diag/inv_diag are bit-identical, so share them
-            # with the hierarchy's finest level instead of holding a second
-            # full-resolution copy (~10 B/cell of HBM at the window size).
-            fine = hier.levels[0]._replace(
-                ew0=fine.ew0, ew1=fine.ew1, ew2=fine.ew2
-            )
-    return PoissonProblem(fine=fine, hier=hier)
+    return PoissonProblem(fine=fine_coeffs, hier=hier)
 
 
 @functools.partial(
@@ -116,6 +158,7 @@ def _solve(
         from geometricmultigridpressuresolver_tpu.ops import pallas_cg
         from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
 
+        update_norm = None
         if use_fused_sharded:
             from geometricmultigridpressuresolver_tpu.parallel import (
                 pallas_sharded,
@@ -130,6 +173,12 @@ def _solve(
                     interpret=config.pallas_interpret,
                     prehaloed_cg=fine_prehalo,
                 )
+
+            def update_norm(x, p, r, ap, alpha):
+                return pallas_sharded.update_norm_sharded(
+                    x, p, r, ap, alpha, config, mesh,
+                    interpret=config.pallas_interpret,
+                )
         else:
             # The CG operator's own active-slab list (fine may differ from
             # hier.levels[0] in dtype; identical expressions CSE either way).
@@ -138,6 +187,16 @@ def _solve(
             def step_p(z, p, beta):
                 return pallas_cg.fused_search_matvec_dot(
                     z, p, beta, fine.diag, fine.ew0, fine.ew1, fine.ew2,
+                    block_t=config.pallas_block_t,
+                    block_y=config.pallas_block_y,
+                    blocks=fine_blocks,
+                    plan_itemsize=fine.ew0.dtype.itemsize,
+                    interpret=config.pallas_interpret,
+                )
+
+            def update_norm(x, p, r, ap, alpha):
+                return pallas_cg.fused_update_norm(
+                    x, p, r, ap, alpha,
                     block_t=config.pallas_block_t,
                     block_y=config.pallas_block_y,
                     blocks=fine_blocks,
@@ -172,6 +231,8 @@ def _solve(
             project_null_space=config.project_null_space,
             preconditioner_dot=preconditioner_dot,
             interrupt_check=interrupt_check,
+            record_residuals=config.record_residuals,
+            update_norm=update_norm,
         )
 
     return cg_mod.solve_pcg(
@@ -184,6 +245,7 @@ def _solve(
         max_iterations=config.max_iterations,
         project_null_space=config.project_null_space,
         interrupt_check=interrupt_check,
+        record_residuals=config.record_residuals,
     )
 
 

@@ -247,3 +247,79 @@ def test_sharded_cg_step_matches_jnp():
     np.testing.assert_allclose(np.asarray(pn), np.asarray(p_ref), atol=2e-6)
     np.testing.assert_allclose(np.asarray(ap), np.asarray(ap_ref), atol=2e-5)
     np.testing.assert_allclose(float(pap), pap_ref, rtol=1e-5)
+
+
+def _fixture_sharded_level():
+    from geometricmultigridpressuresolver_tpu.solver import mg as mg_mod
+
+    labels, weights, mg_levels = helpers.expanded_domain(
+        helpers.sine_dirichlet_domain, 32, fractional=True
+    )
+    config = SolverConfig(solve_dtype=jnp.float32)
+    hier = mg_mod.build_hierarchy(labels, weights, mg_levels, config)
+    c = hier.levels[0]
+    mesh_xy = jax.sharding.Mesh(
+        np.array(jax.devices()[:8]).reshape(4, 2, 1), ("x", "y", "z")
+    )
+    rng = np.random.default_rng(29)
+    mk = lambda: jnp.where(  # noqa: E731
+        c.solvable, jnp.asarray(rng.standard_normal(c.shape), jnp.float32), 0.0
+    )
+    return config, c, mesh_xy, mk
+
+
+def test_sharded_smoother_fusions_match_jnp():
+    """VERDICT r2 #3: the sharded smoother inherits the round-2 fusions --
+    zero-x streaming skip, fused downstroke residual, in-kernel dot with
+    psum -- with outputs equal to the jnp operators."""
+    from geometricmultigridpressuresolver_tpu.ops import blas, stencil
+    from geometricmultigridpressuresolver_tpu.parallel import pallas_sharded
+    from geometricmultigridpressuresolver_tpu.solver import mg as mg_mod
+
+    config, c, mesh_xy, mk = _fixture_sharded_level()
+    b = mk()
+    zero = jnp.zeros_like(b)
+
+    # zero_x + emit_residual (the downstroke pair) in one sharded call.
+    x_ref = mg_mod._smooth_level(zero, b, c, config, forward=True)
+    r_ref = stencil.residual(x_ref, b, c)
+    x_got, r_got = pallas_sharded.smooth_level_sharded(
+        zero, b, c, config, forward=True, mesh=mesh_xy, interpret=True,
+        x_is_zero=True, emit_residual=True,
+    )
+    np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(r_got), np.asarray(r_ref), atol=2e-5)
+
+    # emit_dot (the upstroke rho fusion), psum'd across the mesh.
+    x0 = mk()
+    x_ref2 = mg_mod._smooth_level(x0, b, c, config, forward=False)
+    dot_ref = float(blas.dot(x_ref2, b, c.solvable))
+    x_got2, dot = pallas_sharded.smooth_level_sharded(
+        x0, b, c, config, forward=False, mesh=mesh_xy, interpret=True,
+        emit_dot=True,
+    )
+    np.testing.assert_allclose(np.asarray(x_got2), np.asarray(x_ref2), atol=2e-6)
+    np.testing.assert_allclose(float(dot), dot_ref, rtol=1e-5)
+
+
+def test_sharded_update_norm_matches_jnp():
+    """VERDICT r2 #3/#4: the sharded outer-CG tail (x', r', ||r'||^2) in one
+    elementwise kernel per device plus one psum."""
+    from geometricmultigridpressuresolver_tpu.ops import blas, stencil
+    from geometricmultigridpressuresolver_tpu.parallel import pallas_sharded
+
+    config, c, mesh_xy, mk = _fixture_sharded_level()
+    x, r, p = mk(), mk(), mk()
+    ap = jnp.where(c.solvable, stencil.apply_poisson(p, c), 0.0)
+    alpha = jnp.float32(0.3141)
+
+    x_ref = x + alpha * p
+    r_ref = jnp.where(c.solvable, r - alpha * ap, r)
+    rr_ref = float(blas.squared_l2_norm(r_ref, c.solvable))
+
+    xn, rn, rr = pallas_sharded.update_norm_sharded(
+        x, p, r, ap, alpha, config, mesh_xy, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(xn), np.asarray(x_ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(rn), np.asarray(r_ref), atol=2e-6)
+    np.testing.assert_allclose(float(rr), rr_ref, rtol=1e-5)
