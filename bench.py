@@ -58,6 +58,7 @@ def main() -> None:
         mg_ew_dtype=jnp.bfloat16,
         tolerance=tol,
         max_iterations=200,
+        setup_fusion=os.environ.get("BENCH_SETUP_FUSION", "fused"),
         # Kernel slab-tiling overrides for perf sweeps (0 = config default).
         **{
             k: v

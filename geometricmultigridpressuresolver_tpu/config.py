@@ -119,6 +119,14 @@ class SolverConfig:
     # liquid bbox keeps fitting the previous frame's window shape; see
     # free_surface.build_setup(reuse_from=...).
     window_slack: int = 1
+    # Device-program granularity of setup (build_setup / build_problem).
+    # "fused": window expansion + every hierarchy level + the fine CG
+    # operator compile as ONE program -- fewest dispatches, best on local
+    # runtimes.  "per-level": one program per hierarchy level (plus the
+    # expansion) -- smaller individual programs for environments whose
+    # compile path cannot ingest the fused one (e.g. size-limited
+    # remote-compile tunnels).
+    setup_fusion: str = "fused"
     # Record the relative residual of EVERY CG iteration into
     # CGResult.residual_history (a fixed (max_iterations + 1,) buffer;
     # entries past the exit iteration stay NaN).  The reference prints

@@ -522,13 +522,23 @@ def build_setup(
     target_levels = mg_levels
     if config.max_mg_levels is not None:
         target_levels = min(target_levels, config.max_mg_levels)
-    labels, exp_weights, levels, flags, label_levels, fine = (
-        _expand_build_device(
-            window_labels, mg_weights, window_start, base_pads,
-            tuple(expanded_shape), target_levels, config.boundary_width,
-            mg_dtype, config.mg_ew_dtype, fine_dtype, fine_full,
+    if config.setup_fusion != "per-level":
+        labels, exp_weights, levels, flags, label_levels, fine = (
+            _expand_build_device(
+                window_labels, mg_weights, window_start, base_pads,
+                tuple(expanded_shape), target_levels, config.boundary_width,
+                mg_dtype, config.mg_ew_dtype, fine_dtype, fine_full,
+            )
         )
-    )
+    else:
+        labels, exp_weights = expand_window(
+            window_labels, mg_weights, window_start, base_pads,
+            tuple(expanded_shape),
+        )
+        levels, flags, label_levels, fine = mg_mod.device_hierarchy(
+            labels, tuple(exp_weights), target_levels, config,
+            fine_dtype, fine_full,
+        )
 
     if validate:
         labels_np = np.asarray(labels)

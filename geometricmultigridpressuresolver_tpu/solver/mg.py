@@ -172,6 +172,68 @@ def _device_hierarchy(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("boundary_width", "dtype", "ew_dtype", "coarsen"),
+)
+def _device_level(
+    labels, face_weights, boundary_width: int, dtype, ew_dtype=None,
+    coarsen: bool = True,
+):
+    """One level's coefficients (+ next-coarser labels): the per-level
+    program of config.setup_fusion="per-level"."""
+    coeffs = _level_coeffs_traced(labels, face_weights, boundary_width, dtype, ew_dtype)
+    if not coarsen:
+        return coeffs
+    coarse = domain_ops.coarsen_labels(labels, lane_align=True)
+    return coeffs, coarse, domain_ops.is_solvable(coarse).any()
+
+
+def device_hierarchy(labels, face_weights, target_levels: int, config,
+                     fine_dtype=None, fine_full: bool = False):
+    """Build the level stack on device at the configured program granularity.
+
+    Same (levels, flags, label_levels, fine) contract as _device_hierarchy;
+    "per-level" runs one program per level (the round-2 structure) for
+    environments whose compile path cannot ingest the fused program.
+    """
+    dtype = config.mg_dtype_resolved
+    if config.setup_fusion != "per-level":
+        return _device_hierarchy(
+            labels, face_weights, target_levels, config.boundary_width,
+            dtype, config.mg_ew_dtype, fine_dtype, fine_full,
+        )
+    cur = labels
+    label_levels = [cur]
+    levels, flags = [], []
+    for i in range(target_levels):
+        fw_i = face_weights if i == 0 else None
+        can_coarsen = i + 1 < target_levels and all(s % 2 == 0 for s in cur.shape)
+        if not can_coarsen:
+            levels.append(
+                _device_level(
+                    cur, fw_i, config.boundary_width, dtype,
+                    config.mg_ew_dtype, coarsen=False,
+                )
+            )
+            break
+        coeffs, coarse, has_dofs = _device_level(
+            cur, fw_i, config.boundary_width, dtype, config.mg_ew_dtype
+        )
+        levels.append(coeffs)
+        flags.append(has_dofs)
+        cur = coarse
+        label_levels.append(cur)
+    fine = None
+    if fine_dtype is not None:
+        fc = _device_level(
+            labels, face_weights, config.boundary_width, fine_dtype,
+            coarsen=False,
+        )
+        fine = fc if fine_full else (fc.ew0, fc.ew1, fc.ew2)
+    return tuple(levels), tuple(flags), tuple(label_levels), fine
+
+
 @functools.partial(jax.jit, static_argnames=("nd_pad",))
 def _densify(rows, cols, vals, ndof, nd_pad: int):
     """Scatter COO triplets into a dense (nd_pad, nd_pad) matrix with an
@@ -228,10 +290,10 @@ def build_hierarchy(
         else tuple(jnp.asarray(w, dtype=dtype) for w in face_weights)
     )
 
-    # Build every level in ONE device program (one dispatch, one compile;
-    # see _build_levels_traced), then finish on the host.
-    levels, flags, label_levels, _ = _device_hierarchy(
-        cur, fw, target_levels, config.boundary_width, dtype, ew_dtype
+    # Build every level on device (ONE program under the default
+    # setup_fusion="fused"; see _build_levels_traced), then finish on host.
+    levels, flags, label_levels, _ = device_hierarchy(
+        cur, fw, target_levels, config
     )
     return _finish_hierarchy(
         levels, flags, label_levels, config, validate=validate, host_fw=fw

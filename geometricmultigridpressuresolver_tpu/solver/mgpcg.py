@@ -82,9 +82,8 @@ def build_problem(
         if face_weights is None
         else tuple(jnp.asarray(w, dtype=sd) for w in face_weights)
     )
-    levels, flags, label_levels, fine = mg_mod._device_hierarchy(
-        lab, fw, target_levels, config.boundary_width, dtype,
-        config.mg_ew_dtype, fine_dtype, fine_full,
+    levels, flags, label_levels, fine = mg_mod.device_hierarchy(
+        lab, fw, target_levels, config, fine_dtype, fine_full
     )
     hier = mg_mod._finish_hierarchy(
         levels, flags, label_levels, config, validate=validate, host_fw=fw

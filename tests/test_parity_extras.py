@@ -66,6 +66,32 @@ def test_dx_scaling_round_trip():
     assert scaled["max_relative_difference_vs_oracle"] < 1e-5
 
 
+def test_setup_fusion_granularities_agree():
+    """config.setup_fusion="per-level" must build a bit-identical problem
+    to the default fused one-program setup."""
+    import jax
+
+    from geometricmultigridpressuresolver_tpu.models import free_surface, sdf
+
+    n = 16
+    liquid_phi, velocity = sdf.splash_scene((n, n, n))
+    weights = sdf.open_box_weights((n, n, n))
+    fused = free_surface.build_setup(
+        liquid_phi, weights, config=SolverConfig(setup_fusion="fused")
+    )
+    per_level = free_surface.build_setup(
+        liquid_phi, weights, config=SolverConfig(setup_fusion="per-level")
+    )
+    fl, pl = jax.tree.leaves(fused.problem), jax.tree.leaves(per_level.problem)
+    assert len(fl) == len(pl)
+    for a, b in zip(fl, pl):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ra = free_surface.project(fused, velocity)
+    rb = free_surface.project(per_level, velocity)
+    np.testing.assert_array_equal(np.asarray(ra.pressure), np.asarray(rb.pressure))
+
+
 def test_align_tile_extents_asserts_large_padding():
     assert domain.align_tile_extents((256, 256, 256), 128) == (256, 256, 256)
     with pytest.raises(AssertionError, match="divide 128"):
