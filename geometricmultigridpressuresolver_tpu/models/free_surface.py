@@ -165,19 +165,67 @@ class ProjectionSetup(NamedTuple):
     whose liquid moves (different bounding boxes) reuse the same compiled
     programs as long as the window SHAPE is reused (see `build_setup`'s
     `reuse_from`).
+
+    Storage diet (single-chip ceiling, VERDICT r2 #7): only the PRIMARY
+    fields persist -- material labels (int8), cut-cell weights, and the
+    liquid SDF.  The derived per-frame fields (liquid mask, valid faces,
+    ghost-fluid gradient scales) are recomputed inside the fused per-frame
+    program from these (`face_projection_fields`) -- a few VPU passes per
+    frame instead of ~1.4 GB of resident HBM at 448^3 (3 fp32 face arrays
+    + 4 bool/byte masks).
     """
 
     problem: mgpcg.PoissonProblem
     material: jax.Array                  # int8 (base shape) material labels
-    liquid_mask: jax.Array               # bool, base shape
-    valid_faces: tuple[jax.Array, ...]   # bool face arrays, base shape
     weights: tuple[jax.Array, ...]       # cut-cell weights, base shape
-    grad_scale: tuple[jax.Array, ...]    # 1/theta on liquid-air valid faces
+    liquid_phi: jax.Array                # liquid SDF, base shape (solve dtype)
     window_start: jax.Array              # int32[3], window origin (padded base coords)
     expanded_shape: tuple[int, int, int]
     base_pads: tuple[tuple[int, int], ...]  # static per-axis base padding
     padding: int                         # multigrid exterior padding
     mg_levels: int
+
+    @property
+    def liquid_mask(self) -> jax.Array:
+        """bool base-shape liquid mask, derived from the material labels
+        (kept as a property for the round-1/2 field's many callers)."""
+        return self.material == LIQUID
+
+
+def _face_inv_theta(material, liquid_phi, axis: int, theta_clamp: float, dtype):
+    """Face-shaped 1/theta on liquid-air faces (1 elsewhere), ghost-fluid
+    clamped (Source/HDK_GeometricFreeSurfacePressureSolver.cpp:795-865)."""
+    xp = _xp(material)
+    lbl_lo, lbl_hi = _lo_hi(material, axis)
+    phi_lo, phi_hi = _lo_hi(liquid_phi, axis)
+    liquid_air = ((lbl_lo == LIQUID) & (lbl_hi == AIR)) | (
+        (lbl_lo == AIR) & (lbl_hi == LIQUID)
+    )
+    theta = xp.clip(ghost_fluid_theta(phi_lo, phi_hi), theta_clamp, 1.0).astype(dtype)
+    return _pad_axis(
+        xp.where(liquid_air, 1.0 / theta, xp.ones_like(theta)), axis, 1, 1, 1.0
+    )
+
+
+def face_projection_fields(
+    material, liquid_phi, cut_cell_weights, theta_clamp: float, dtype
+):
+    """(valid_faces, grad_scale) derived from the primary fields.
+
+    grad_scale is 1/theta on valid liquid-air faces, 1 elsewhere (reference
+    applyPressureGradient, cpp:1049-1131).  Recomputed per frame inside the
+    fused projection program instead of stored in ProjectionSetup -- a few
+    VPU passes versus ~1.4 GB resident at 448^3.
+    """
+    xp = _xp(material)
+    valid = classify_valid_faces(material, cut_cell_weights)
+    grad_scale = []
+    for axis in range(3):
+        inv_theta = _face_inv_theta(material, liquid_phi, axis, theta_clamp, dtype)
+        grad_scale.append(
+            xp.where(valid[axis], inv_theta, xp.ones_like(inv_theta))
+        )
+    return valid, grad_scale
 
 
 def _setup_base_fields(
@@ -214,16 +262,7 @@ def _setup_base_fields(
     for axis in range(3):
         w = cut_cell_weights[axis].astype(dtype)
         v = valid[axis]
-        lbl_lo, lbl_hi = _lo_hi(material, axis)
-        phi_lo, phi_hi = _lo_hi(liquid_phi, axis)
-        liquid_air = ((lbl_lo == LIQUID) & (lbl_hi == AIR)) | (
-            (lbl_lo == AIR) & (lbl_hi == LIQUID)
-        )
-        theta = xp.clip(ghost_fluid_theta(phi_lo, phi_hi), theta_clamp, 1.0).astype(dtype)
-
-        inv_theta = _pad_axis(
-            xp.where(liquid_air, 1.0 / theta, xp.ones_like(theta)), axis, 1, 1, 1.0
-        )
+        inv_theta = _face_inv_theta(material, liquid_phi, axis, theta_clamp, dtype)
         bw = xp.where(v, w * inv_theta, xp.zeros_like(w))
         # Gradient scale: 1/theta on valid liquid-air faces, 1 elsewhere
         # (reference applyPressureGradient, cpp:1049-1131).
@@ -551,13 +590,15 @@ def build_setup(
         host_fw=tuple(exp_weights),
     )
     problem = mgpcg._finish_problem(hier, fine, fine_full)
+    # Only PRIMARY fields persist; valid/grad_scale computed by setup_base
+    # above die with this function (freed device buffers) and are
+    # recomputed per frame inside _project_impl (see ProjectionSetup).
+    del valid, grad_scale
     return ProjectionSetup(
         problem=problem,
         material=material,
-        liquid_mask=material == LIQUID,
-        valid_faces=tuple(valid),
         weights=cut_cell_weights,
-        grad_scale=tuple(grad_scale),
+        liquid_phi=liquid_phi,
         window_start=window_start,
         expanded_shape=tuple(labels.shape),
         base_pads=base_pads,
@@ -599,7 +640,7 @@ def _embed(base: jax.Array, setup: "ProjectionSetup") -> jax.Array:
 def _extract(expanded: jax.Array, setup: "ProjectionSetup") -> jax.Array:
     """Eager-context convenience wrapper over `extract_window`."""
     return extract_window(
-        expanded, setup.window_start, setup.base_pads, setup.liquid_mask.shape
+        expanded, setup.window_start, setup.base_pads, setup.material.shape
     )
 
 
@@ -687,13 +728,7 @@ class ProjectionResult(NamedTuple):
     accumulated_divergence: jax.Array
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "config", "has_solid_vel", "has_x0", "base_pads", "expanded_shape", "mesh"
-    ),
-)
-def _project_impl(
+def _project_impl_fn(
     setup: ProjectionSetup,
     velocity,
     solid_velocity,
@@ -714,14 +749,22 @@ def _project_impl(
     sd = config.solve_dtype
     solid_velocity = solid_velocity if has_solid_vel else None
 
+    # Derived per-frame fields, recomputed from the primary setup arrays
+    # (a few VPU passes fused into this program; see ProjectionSetup's
+    # storage-diet note).
+    liquid_mask = setup.material == LIQUID
+    valid_faces, grad_scale = face_projection_fields(
+        setup.material, setup.liquid_phi, setup.weights, config.theta_clamp, sd
+    )
+
     rhs_base = negative_divergence(
-        setup.liquid_mask, velocity, setup.weights, solid_velocity
+        liquid_mask, velocity, setup.weights, solid_velocity
     )
     rhs = embed_window(rhs_base, setup.window_start, base_pads, expanded_shape)
 
     x0 = None
     if config.use_old_pressure and has_x0:
-        warm = jnp.where(setup.liquid_mask, old_pressure.astype(sd), 0.0)
+        warm = jnp.where(liquid_mask, old_pressure.astype(sd), 0.0)
         x0 = embed_window(warm, setup.window_start, base_pads, expanded_shape)
 
     cg_result = mgpcg._solve(setup.problem, rhs, x0 if x0 is not None else rhs,
@@ -730,7 +773,7 @@ def _project_impl(
     pressure = extract_window(
         cg_result.x, setup.window_start, base_pads, rhs_base.shape
     )
-    pressure = jnp.where(setup.liquid_mask, pressure, jnp.zeros_like(pressure))
+    pressure = jnp.where(liquid_mask, pressure, jnp.zeros_like(pressure))
 
     # Recomputed residual report (reference cpp:620-628).
     from geometricmultigridpressuresolver_tpu.ops import stencil as stencil_ops
@@ -743,15 +786,33 @@ def _project_impl(
     )
 
     new_velocity = apply_pressure_gradient(
-        velocity, pressure, setup.valid_faces, setup.grad_scale
+        velocity, pressure, valid_faces, grad_scale
     )
     max_div, total_div, avg_div = divergence_stats(
-        setup.liquid_mask, new_velocity, setup.weights, solid_velocity
+        liquid_mask, new_velocity, setup.weights, solid_velocity
     )
     return ProjectionResult(
         pressure, new_velocity, cg_result, max_div, avg_div,
         rel_l2, linf, total_div,
     )
+
+
+_PROJECT_STATICS = (
+    "config", "has_solid_vel", "has_x0", "base_pads", "expanded_shape", "mesh"
+)
+_project_impl = functools.partial(
+    jax.jit, static_argnames=_PROJECT_STATICS
+)(_project_impl_fn)
+# Donating variant: the input velocity buffers are reused for the projected
+# output velocity (same shapes/dtypes -- a perfect alias covering the three
+# largest per-frame arrays), and the warm-start pressure buffer for the
+# output pressure.  Opt-in (`project(donate=True)`) because donated inputs
+# are DELETED -- callers that reuse them (tests comparing sharded vs
+# single-device runs, benches timing repeated solves on fixed inputs) must
+# keep the default.
+_project_impl_donated = functools.partial(
+    jax.jit, static_argnames=_PROJECT_STATICS, donate_argnums=(1, 3)
+)(_project_impl_fn)
 
 
 def project(
@@ -761,13 +822,21 @@ def project(
     old_pressure: jax.Array | None = None,
     config: SolverConfig | None = None,
     mesh=None,
+    donate: bool = False,
 ) -> ProjectionResult:
-    """Steps 5-9: RHS, warm start, MGPCG solve, writeback, audit."""
+    """Steps 5-9: RHS, warm start, MGPCG solve, writeback, audit.
+
+    `donate=True` donates the velocity (and warm-start pressure) buffers to
+    the computation -- the frame loop's steady-state HBM drops by one full
+    velocity field (~1.4 GB at 448^3).  The passed arrays are consumed:
+    keep using the RESULT's fields, never the inputs (models/simulate.py
+    does this).
+    """
     # Default resolved at CALL time (not import time), so late
     # jax_enable_x64 changes are honored by the default config.
     if config is None:
         config = SolverConfig()
-    validate_fields(setup.liquid_mask, setup.weights, velocity=velocity)
+    validate_fields(setup.material, setup.weights, velocity=velocity)
     sd = config.solve_dtype
     velocity = tuple(jnp.asarray(v, dtype=sd) for v in velocity)
     has_solid_vel = solid_velocity is not None
@@ -777,11 +846,18 @@ def project(
         else velocity  # placeholder pytree (ignored when has_solid_vel=False)
     )
     has_x0 = config.use_old_pressure and old_pressure is not None
-    old_pressure = (
-        jnp.asarray(old_pressure, dtype=sd) if has_x0 else setup.liquid_mask
-    )
+    if has_x0:
+        old_pressure = jnp.asarray(old_pressure, dtype=sd)
+    elif donate:
+        # Placeholders must not alias live setup fields when donating.
+        old_pressure = jnp.zeros((1, 1, 1), dtype=sd)
+    else:
+        old_pressure = setup.liquid_phi
+    if donate and not has_solid_vel:
+        solid_velocity = tuple(jnp.zeros((1, 1, 1), dtype=sd) for _ in range(3))
 
-    return _project_impl(
+    impl = _project_impl_donated if donate else _project_impl
+    return impl(
         setup, velocity, solid_velocity, old_pressure, config,
         has_solid_vel, has_x0, setup.base_pads, setup.expanded_shape, mesh,
     )

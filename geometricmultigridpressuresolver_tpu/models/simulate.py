@@ -133,8 +133,13 @@ def step(
         new_phi, cut_cell_weights, solid_phi=solid_phi, config=config,
         reuse_from=reuse_setup,
     )
+    # Donation: the advected velocity and last frame's pressure are dead
+    # after the projection (the loop continues from result.*), so their
+    # buffers are recycled for the outputs -- one full velocity field less
+    # of steady-state HBM.
     result = free_surface.project(
-        setup, tuple(new_vel), old_pressure=old_pressure, config=config
+        setup, tuple(new_vel), old_pressure=old_pressure, config=config,
+        donate=True,
     )
     return FrameResult(
         liquid_phi=new_phi,

@@ -68,13 +68,13 @@ def shard_setup(
 ) -> free_surface.ProjectionSetup:
     return free_surface.ProjectionSetup(
         problem=shard_problem(setup.problem, mesh, min_per_device),
-        material=setup.material,
-        liquid_mask=shard_grid(setup.liquid_mask, mesh, min_per_device),
+        material=shard_grid(setup.material, mesh, min_per_device),
         # MAC face arrays replicate their own +1 axis (indivisible) and
-        # shard the other two via the per-shape pspec rule.
-        valid_faces=tuple(shard_grid(v, mesh, min_per_device) for v in setup.valid_faces),
+        # shard the other two via the per-shape pspec rule.  Derived fields
+        # (liquid mask, valid faces, gradient scales) are recomputed inside
+        # the projection program and inherit shardings from these.
         weights=tuple(shard_grid(w, mesh, min_per_device) for w in setup.weights),
-        grad_scale=tuple(shard_grid(g, mesh, min_per_device) for g in setup.grad_scale),
+        liquid_phi=shard_grid(setup.liquid_phi, mesh, min_per_device),
         window_start=_put(setup.window_start, mesh, PartitionSpec()),
         expanded_shape=setup.expanded_shape,
         base_pads=setup.base_pads,

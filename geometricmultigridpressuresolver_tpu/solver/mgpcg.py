@@ -113,10 +113,7 @@ def _finish_problem(
     return PoissonProblem(fine=fine_coeffs, hier=hier)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("config", "has_x0", "mesh", "interrupt_check")
-)
-def _solve(
+def _solve_fn(
     problem: PoissonProblem, rhs, x0, config: SolverConfig, has_x0: bool,
     mesh=None, interrupt_check=None,
 ):
@@ -248,6 +245,17 @@ def _solve(
     )
 
 
+_SOLVE_STATICS = ("config", "has_x0", "mesh", "interrupt_check")
+_solve = functools.partial(jax.jit, static_argnames=_SOLVE_STATICS)(_solve_fn)
+# Donating variant: the rhs and warm-start buffers are recycled for the CG
+# residual/solution -- two full-window fp32 grids of HBM.  Opt-in because
+# donated inputs are DELETED (benches that re-solve a fixed rhs must keep
+# the default).
+_solve_donated = functools.partial(
+    jax.jit, static_argnames=_SOLVE_STATICS, donate_argnums=(1, 2)
+)(_solve_fn)
+
+
 def solve(
     problem: PoissonProblem,
     rhs: jax.Array,
@@ -255,6 +263,7 @@ def solve(
     config: SolverConfig | None = None,
     mesh=None,
     interrupt_check=None,
+    donate: bool = False,
 ) -> cg_mod.CGResult:
     """MGPCG solve of the dimensionless Poisson system over solvable cells.
 
@@ -278,4 +287,5 @@ def solve(
     has_x0 = x0 is not None
     if x0 is None:
         x0 = jnp.zeros_like(rhs)
-    return _solve(problem, rhs, x0, config, has_x0, mesh, interrupt_check)
+    impl = _solve_donated if donate else _solve
+    return impl(problem, rhs, x0, config, has_x0, mesh, interrupt_check)
