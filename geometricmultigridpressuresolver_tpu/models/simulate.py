@@ -152,6 +152,54 @@ def step(
     )
 
 
+def save_state(directory, frame: int, liquid_phi, velocity, pressure=None) -> None:
+    """Checkpoint the simulation state in the native tiled format (io.py).
+
+    The reference has no checkpointing at all (Houdini owns sim state;
+    SURVEY.md section 5); a standalone framework needs one.  Constant-tile
+    compression makes the far-field SDF and still-water regions nearly
+    free on disk.  Resume with `load_state` + `run(start_frame=...)`.
+    """
+    import json as _json
+    from pathlib import Path
+
+    import numpy as np
+
+    from geometricmultigridpressuresolver_tpu import io as gmg_io
+
+    fields = {
+        "liquid_phi": np.asarray(liquid_phi),
+        "velocity_u": np.asarray(velocity[0]),
+        "velocity_v": np.asarray(velocity[1]),
+        "velocity_w": np.asarray(velocity[2]),
+    }
+    if pressure is not None:
+        fields["pressure"] = np.asarray(pressure)
+    gmg_io.save_scene(directory, **fields)
+    (Path(directory) / "state.json").write_text(
+        _json.dumps({"frame": int(frame), "format": 1})
+    )
+
+
+def load_state(directory):
+    """Load a `save_state` checkpoint -> (frame, liquid_phi, velocity,
+    pressure-or-None)."""
+    import json as _json
+    from pathlib import Path
+
+    from geometricmultigridpressuresolver_tpu import io as gmg_io
+
+    meta = _json.loads((Path(directory) / "state.json").read_text())
+    fields = gmg_io.load_scene(directory)
+    velocity = (
+        fields["velocity_u"], fields["velocity_v"], fields["velocity_w"]
+    )
+    return (
+        int(meta["frame"]), fields["liquid_phi"], velocity,
+        fields.get("pressure"),
+    )
+
+
 def run(
     liquid_phi,
     velocity,
@@ -162,17 +210,26 @@ def run(
     solid_phi=None,
     config: SolverConfig | None = None,
     on_frame=None,
+    start_frame: int = 0,
+    old_pressure=None,
+    checkpoint_dir=None,
+    checkpoint_every: int = 0,
 ) -> list[FrameResult]:
     """Run `num_frames` steps, warm-starting each solve from the last
-    pressure; returns per-frame results (the flipSplash loop)."""
+    pressure; returns per-frame results (the flipSplash loop).
+
+    Resume support: `start_frame`/`old_pressure` continue from a
+    `load_state` checkpoint; `checkpoint_dir` + `checkpoint_every` write
+    one every N frames (`save_state`).
+    """
     # Default resolved at CALL time (not import time), so late
     # jax_enable_x64 changes are honored by the default config.
     if config is None:
         config = SolverConfig()
     frames = []
-    pressure = None
+    pressure = old_pressure
     setup = None
-    for k in range(num_frames):
+    for k in range(start_frame, start_frame + num_frames):
         fr = step(
             liquid_phi, velocity, cut_cell_weights, dt, gravity,
             old_pressure=pressure, solid_phi=solid_phi, config=config,
@@ -183,6 +240,10 @@ def run(
         # frame would accumulate the full multigrid hierarchy in HBM.
         frames.append(fr._replace(setup=None))
         liquid_phi, velocity, pressure = fr.liquid_phi, fr.velocity, fr.pressure
+        if checkpoint_dir is not None and checkpoint_every and (
+            (k + 1 - start_frame) % checkpoint_every == 0
+        ):
+            save_state(checkpoint_dir, k + 1, liquid_phi, velocity, pressure)
         if on_frame is not None:
             on_frame(k, fr)
     return frames

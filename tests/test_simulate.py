@@ -60,3 +60,43 @@ def test_multiframe_splash_stays_divergence_free():
     assert bool((np.asarray(frames[-1].liquid_phi) <= 0).any())
     # Gravity + splash keep the solve nontrivial each frame.
     assert all(fr.iterations > 0 for fr in frames)
+
+
+def test_checkpoint_resume_matches_straight_run(tmp_path):
+    """save_state/load_state + run(start_frame=...) reproduces the
+    uninterrupted run (the checkpoint/resume subsystem the reference lacks
+    -- SURVEY.md section 5 names it as a gap a standalone framework fills)."""
+    n = 24
+    config = SolverConfig(tolerance=1e-8, max_iterations=300)
+    phi, velocity = sdf.splash_scene((n, n, n))
+    weights = sdf.open_box_weights((n, n, n))
+    phi = jnp.asarray(phi)
+    velocity = tuple(jnp.asarray(v) for v in velocity)
+
+    straight = simulate.run(
+        phi, velocity, weights, num_frames=3, dt=1.0 / 60.0, config=config
+    )
+
+    ckpt = tmp_path / "ckpt"
+    simulate.run(
+        phi, velocity, weights, num_frames=2, dt=1.0 / 60.0, config=config,
+        checkpoint_dir=ckpt, checkpoint_every=2,
+    )
+    frame, phi2, vel2, pressure2 = simulate.load_state(ckpt)
+    assert frame == 2 and pressure2 is not None
+    resumed = simulate.run(
+        jnp.asarray(phi2), tuple(jnp.asarray(v) for v in vel2), weights,
+        num_frames=1, dt=1.0 / 60.0, config=config,
+        start_frame=frame, old_pressure=jnp.asarray(pressure2),
+    )
+    # The serialization round trip is exact (fp64 tiled format), so the
+    # resumed frame reproduces the straight run's frame 3 to solver noise.
+    np.testing.assert_allclose(
+        np.asarray(resumed[0].liquid_phi),
+        np.asarray(straight[2].liquid_phi), atol=1e-12,
+    )
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(resumed[0].velocity[a]),
+            np.asarray(straight[2].velocity[a]), atol=1e-9,
+        )
