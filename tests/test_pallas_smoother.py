@@ -260,6 +260,50 @@ def test_zero_x_and_fused_residual(fixture32):
         )
 
 
+@pytest.mark.slow
+def test_full_fused_solve_matches_jnp_interpret():
+    """End-to-end MGPCG with EVERY single-device fusion engaged (fused
+    smoother, zero-x residual, CG-step, rho dot, outer-tail update_norm)
+    in interpret mode vs the jnp path: same iterations, same solution.
+
+    Uses the 64^3 splash window (lane-aligned to 128) so `eligible` is
+    genuinely true -- the same geometry the kernels need on real chips.
+    """
+    from geometricmultigridpressuresolver_tpu.models import free_surface, sdf
+    from geometricmultigridpressuresolver_tpu.solver import mgpcg
+
+    n = 64
+    phi, velocity = sdf.splash_scene((n, n, n))
+    weights = sdf.open_box_weights((n, n, n))
+    base_kwargs = dict(
+        solve_dtype=jnp.float32, mg_dtype=jnp.float32,
+        tolerance=1e-4, max_iterations=8, coarse_dof_target=1,
+    )
+    cfg_jnp = SolverConfig(kernel_mode="jnp", **base_kwargs)
+    cfg_pal = SolverConfig(
+        kernel_mode="pallas", pallas_interpret=True, record_residuals=True,
+        **base_kwargs,
+    )
+
+    setup = free_surface.build_setup(phi, weights, config=cfg_jnp)
+    flags = mg_mod._pallas_level_flags(setup.problem.hier, cfg_pal)
+    assert flags[0] is True, f"fused path must engage: {flags}"
+
+    velocity = tuple(jnp.asarray(v, jnp.float32) for v in velocity)
+    base = free_surface.project(setup, velocity, config=cfg_jnp)
+    fused = free_surface.project(setup, velocity, config=cfg_pal)
+
+    assert int(fused.cg.iterations) == int(base.cg.iterations)
+    scale = float(jnp.max(jnp.abs(base.pressure))) or 1.0
+    diff = float(jnp.max(jnp.abs(fused.pressure - base.pressure))) / scale
+    assert diff < 1e-4, diff
+    # The recorded history ends at the exit scalar.
+    hist = np.asarray(fused.cg.residual_history)
+    assert hist[int(fused.cg.iterations)] == pytest.approx(
+        float(fused.cg.relative_residual), rel=1e-5
+    )
+
+
 def test_residual_fusable_rule():
     cfg = SolverConfig()  # 3 + GS(2) + 3 = 8 passes, single chunk
     assert pallas_smoother.residual_fusable(cfg)
