@@ -130,6 +130,29 @@ def main():
         timed_loop("fused CG step (occupancy)", fused_step, x,
                    (b, c0, blocks), k, bytes_per_iter=8 * cells * fp)
 
+        # Outer-CG tail: fused_update_norm kernel vs the XLA-fused trio.
+        alpha = jnp.float32(0.37)
+
+        def fused_tail(x, p, r, ap, blocks):
+            xn, rn, rr = pallas_cg.fused_update_norm(
+                x, p, r, ap, alpha,
+                block_t=config.pallas_block_t, block_y=config.pallas_block_y,
+                blocks=blocks, plan_itemsize=c0.ew0.dtype.itemsize,
+            )
+            return xn + 0 * rn + 0 * rr[0, 0]
+
+        timed_loop("fused update+norm tail (kernel)", fused_tail, x,
+                   (b, x, b, blocks), k, bytes_per_iter=6 * cells * fp)
+
+        def xla_tail(x, p, r, ap, solvable):
+            xn = x + alpha * p
+            rn = jnp.where(solvable, r - alpha * ap, r)
+            rr = jnp.sum(jnp.where(solvable, rn * rn, 0.0), dtype=jnp.float32)
+            return xn + 0 * rn + 0 * rr
+
+        timed_loop("XLA update+norm tail (3 fused ops)", xla_tail, x,
+                   (b, x, b, c0.solvable), k, bytes_per_iter=7 * cells * fp)
+
     if hier.num_levels > 1:
         c1 = hier.levels[1]
         # Shapes change across the transfer, so time the round trip.

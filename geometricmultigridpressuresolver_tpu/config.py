@@ -119,6 +119,14 @@ class SolverConfig:
     # liquid bbox keeps fitting the previous frame's window shape; see
     # free_surface.build_setup(reuse_from=...).
     window_slack: int = 1
+    # Fuse the outer-CG tail (x += alpha p, r -= alpha Ap, ||r||^2) into
+    # one Pallas pass (ops.pallas_cg.fused_update_norm) when the fused CG
+    # path runs.  Default OFF: measured a ~5% solve REGRESSION at 256^3
+    # (0.235 s vs 0.223 s best-of-3, same session A/B) -- XLA's own fusion
+    # of the elementwise trio beats the kernel despite the occupancy skip
+    # (benchmarks/RESULTS.md round-3 negative results).  The kernel stays
+    # available for environments where the balance differs.
+    fuse_update_norm: bool = False
     # Device-program granularity of setup (build_setup / build_problem).
     # "fused": window expansion + every hierarchy level + the fine CG
     # operator compile as ONE program -- fewest dispatches, best on local

@@ -170,11 +170,12 @@ def _solve_fn(
                     prehaloed_cg=fine_prehalo,
                 )
 
-            def update_norm(x, p, r, ap, alpha):
-                return pallas_sharded.update_norm_sharded(
-                    x, p, r, ap, alpha, config, mesh,
-                    interpret=config.pallas_interpret,
-                )
+            if config.fuse_update_norm:
+                def update_norm(x, p, r, ap, alpha):
+                    return pallas_sharded.update_norm_sharded(
+                        x, p, r, ap, alpha, config, mesh,
+                        interpret=config.pallas_interpret,
+                    )
         else:
             # The CG operator's own active-slab list (fine may differ from
             # hier.levels[0] in dtype; identical expressions CSE either way).
@@ -190,15 +191,16 @@ def _solve_fn(
                     interpret=config.pallas_interpret,
                 )
 
-            def update_norm(x, p, r, ap, alpha):
-                return pallas_cg.fused_update_norm(
-                    x, p, r, ap, alpha,
-                    block_t=config.pallas_block_t,
-                    block_y=config.pallas_block_y,
-                    blocks=fine_blocks,
-                    plan_itemsize=fine.ew0.dtype.itemsize,
-                    interpret=config.pallas_interpret,
-                )
+            if config.fuse_update_norm:
+                def update_norm(x, p, r, ap, alpha):
+                    return pallas_cg.fused_update_norm(
+                        x, p, r, ap, alpha,
+                        block_t=config.pallas_block_t,
+                        block_y=config.pallas_block_y,
+                        blocks=fine_blocks,
+                        plan_itemsize=fine.ew0.dtype.itemsize,
+                        interpret=config.pallas_interpret,
+                    )
 
         preconditioner_dot = None
         if config.use_mg_preconditioner:
