@@ -280,9 +280,12 @@ def test_full_fused_solve_matches_jnp_interpret():
         tolerance=1e-4, max_iterations=8, coarse_dof_target=1,
     )
     cfg_jnp = SolverConfig(kernel_mode="jnp", **base_kwargs)
+    # fuse_update_norm=True: the tail kernel is default-off after the
+    # round-3 A/B (XLA wins on TPU), but its solve-path wiring must stay
+    # correct -- this is the test that exercises it end-to-end.
     cfg_pal = SolverConfig(
         kernel_mode="pallas", pallas_interpret=True, record_residuals=True,
-        **base_kwargs,
+        fuse_update_norm=True, **base_kwargs,
     )
 
     setup = free_surface.build_setup(phi, weights, config=cfg_jnp)
