@@ -143,6 +143,23 @@ class SolverConfig:
     # keeps convergence forensics without per-iteration host traffic.
     record_residuals: bool = False
 
+    def __post_init__(self):
+        # Every string-mode knob is compared with `==`/`!=` at use sites;
+        # validating here turns a typo ("per_level", "palas") into an
+        # immediate error instead of a silently-selected default path.
+        allowed = {
+            "kernel_mode": ("auto", "jnp", "pallas"),
+            "transfer_mode": ("auto", "mm", "slice"),
+            "setup_fusion": ("fused", "per-level"),
+            "interior_smoother": (None, "chebyshev"),
+        }
+        for name, values in allowed.items():
+            value = getattr(self, name)
+            if value not in values:
+                raise ValueError(
+                    f"config.{name}={value!r}; expected one of {values}"
+                )
+
     @property
     def mg_dtype_resolved(self):
         return self.solve_dtype if self.mg_dtype is None else self.mg_dtype

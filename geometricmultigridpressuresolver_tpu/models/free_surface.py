@@ -236,12 +236,19 @@ def _setup_base_fields(
     dtype,
     dirichlet_band: int,
     want_compact: bool = True,
+    want_derived: bool = True,
 ):
     """Steps 1-3 array work on the base grid: labels, valid faces, MG
     weights, far-field Dirichlet trimming, occupancy projections.
 
     Functional, so it runs under jit on the device (production) or eagerly
     on host numpy arrays (tests/oracles use the pieces directly).
+
+    `want_derived=False` (the production build_setup path) drops the
+    valid/grad_scale OUTPUTS -- they are recomputed per frame inside the
+    fused projection program, so emitting them from the setup program
+    would only write ~1.4 GB of soon-discarded HBM at 448^3.  The
+    assembled baseline keeps them (it consumes them directly).
     """
     xp = _xp(liquid_phi)
     material = build_material_labels(liquid_phi, cut_cell_weights, solid_phi)
@@ -269,6 +276,8 @@ def _setup_base_fields(
         scale = xp.where(v, inv_theta, xp.ones_like(inv_theta))
         mg_weights.append(bw)
         grad_scale.append(scale)
+    if not want_derived:
+        valid = grad_scale = None
 
     if not want_compact:
         # Callers on the classic/raw-grid path (assembled baseline) skip
@@ -323,7 +332,10 @@ def _jitted():
     if _setup_base_jit is None:
         _setup_base_jit = jax.jit(
             _setup_base_fields,
-            static_argnames=("theta_clamp", "dtype", "dirichlet_band", "want_compact"),
+            static_argnames=(
+                "theta_clamp", "dtype", "dirichlet_band", "want_compact",
+                "want_derived",
+            ),
         )
         _expand_window_jit = jax.jit(
             _expand_window_fields,
@@ -464,7 +476,9 @@ def build_setup(
         solid_phi = jnp.asarray(solid_phi, dtype=sd)
 
     setup_base, expand_window = _jitted()
-    material, valid, grad_scale, mg_labels, trimmed, mg_weights, projections = (
+    # want_derived=False: valid/grad_scale are per-frame recomputes inside
+    # the projection program, so the setup program does not emit them.
+    material, _, _, mg_labels, trimmed, mg_weights, projections = (
         setup_base(
             liquid_phi,
             cut_cell_weights,
@@ -472,6 +486,7 @@ def build_setup(
             config.theta_clamp,
             sd,
             config.dirichlet_band,
+            want_derived=False,
         )
     )
 
@@ -590,10 +605,6 @@ def build_setup(
         host_fw=tuple(exp_weights),
     )
     problem = mgpcg._finish_problem(hier, fine, fine_full)
-    # Only PRIMARY fields persist; valid/grad_scale computed by setup_base
-    # above die with this function (freed device buffers) and are
-    # recomputed per frame inside _project_impl (see ProjectionSetup).
-    del valid, grad_scale
     return ProjectionSetup(
         problem=problem,
         material=material,
@@ -805,13 +816,16 @@ _project_impl = functools.partial(
 )(_project_impl_fn)
 # Donating variant: the input velocity buffers are reused for the projected
 # output velocity (same shapes/dtypes -- a perfect alias covering the three
-# largest per-frame arrays), and the warm-start pressure buffer for the
-# output pressure.  Opt-in (`project(donate=True)`) because donated inputs
+# largest per-frame arrays).  VELOCITY ONLY: the warm-start pressure must
+# NOT be donated -- frame loops legitimately retain the previous frame's
+# pressure (e.g. simulate.run returns every FrameResult.pressure while
+# also warm-starting from it), and donating it would delete the retained
+# array.  Opt-in (`project(donate=True)`) because even the velocity inputs
 # are DELETED -- callers that reuse them (tests comparing sharded vs
 # single-device runs, benches timing repeated solves on fixed inputs) must
 # keep the default.
 _project_impl_donated = functools.partial(
-    jax.jit, static_argnames=_PROJECT_STATICS, donate_argnums=(1, 3)
+    jax.jit, static_argnames=_PROJECT_STATICS, donate_argnums=(1,)
 )(_project_impl_fn)
 
 
@@ -826,11 +840,11 @@ def project(
 ) -> ProjectionResult:
     """Steps 5-9: RHS, warm start, MGPCG solve, writeback, audit.
 
-    `donate=True` donates the velocity (and warm-start pressure) buffers to
-    the computation -- the frame loop's steady-state HBM drops by one full
-    velocity field (~1.4 GB at 448^3).  The passed arrays are consumed:
-    keep using the RESULT's fields, never the inputs (models/simulate.py
-    does this).
+    `donate=True` donates the velocity buffers to the computation -- the
+    frame loop's steady-state HBM drops by one full velocity field
+    (~1.4 GB at 448^3).  The passed velocity arrays are consumed: keep
+    using the RESULT's velocity, never the inputs (models/simulate.py
+    does this).  `old_pressure` is never donated (frame loops retain it).
     """
     # Default resolved at CALL time (not import time), so late
     # jax_enable_x64 changes are honored by the default config.
@@ -846,14 +860,11 @@ def project(
         else velocity  # placeholder pytree (ignored when has_solid_vel=False)
     )
     has_x0 = config.use_old_pressure and old_pressure is not None
-    if has_x0:
-        old_pressure = jnp.asarray(old_pressure, dtype=sd)
-    elif donate:
-        # Placeholders must not alias live setup fields when donating.
-        old_pressure = jnp.zeros((1, 1, 1), dtype=sd)
-    else:
-        old_pressure = setup.liquid_phi
+    old_pressure = (
+        jnp.asarray(old_pressure, dtype=sd) if has_x0 else setup.liquid_phi
+    )
     if donate and not has_solid_vel:
+        # The placeholder must not alias the donated velocity buffers.
         solid_velocity = tuple(jnp.zeros((1, 1, 1), dtype=sd) for _ in range(3))
 
     impl = _project_impl_donated if donate else _project_impl

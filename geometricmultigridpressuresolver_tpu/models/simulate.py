@@ -133,10 +133,11 @@ def step(
         new_phi, cut_cell_weights, solid_phi=solid_phi, config=config,
         reuse_from=reuse_setup,
     )
-    # Donation: the advected velocity and last frame's pressure are dead
-    # after the projection (the loop continues from result.*), so their
-    # buffers are recycled for the outputs -- one full velocity field less
-    # of steady-state HBM.
+    # Donation: the advected velocity is dead after the projection (the
+    # loop continues from result.velocity), so its buffers are recycled
+    # for the output -- one full velocity field less of steady-state HBM.
+    # (old_pressure is NOT donated: run() returns every frame's pressure
+    # while also warm-starting from it.)
     result = free_surface.project(
         setup, tuple(new_vel), old_pressure=old_pressure, config=config,
         donate=True,

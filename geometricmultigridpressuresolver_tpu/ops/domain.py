@@ -230,10 +230,14 @@ def align_tile_extents(expanded, padding: int):
     silently break the invariant and the hierarchy would cap early at an
     odd extent instead.
     """
-    assert 128 % padding == 0, (
-        f"lane alignment requires padding ({padding}) to divide 128; "
-        "cap mg levels (config.max_mg_levels) or raise coarse_dof_target"
-    )
+    if 128 % padding:
+        # ValueError (not assert): the guard must survive python -O --
+        # without it the 128-rounding silently breaks the
+        # multiple-of-padding invariant and the hierarchy caps early.
+        raise ValueError(
+            f"lane alignment requires padding ({padding}) to divide 128; "
+            "cap mg levels (config.max_mg_levels) or raise coarse_dof_target"
+        )
     out = list(expanded)
     if out[2] >= 96:
         out[2] = ((out[2] + 127) // 128) * 128

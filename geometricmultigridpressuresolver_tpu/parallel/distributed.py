@@ -186,10 +186,25 @@ def distribute_problem(problem, mesh: Mesh, min_per_device: int = 8):
 
 
 def host_local_dofs(solvable: jax.Array) -> int:
-    """This process's share of the DOF count (sum over addressable shards);
-    psum of these across processes is the global count.  Cheap observability
-    for multi-host runs without materializing the global mask anywhere."""
+    """This process's share of the DOF count; summed across processes this
+    gives the global count.  Replication-safe: when an axis is REPLICATED
+    on the mesh (grid_pspec replicates indivisible or too-small axes),
+    every distinct global region is counted exactly once globally -- the
+    replica on the lowest device id "owns" it, whether the replicas live
+    in one process or span several.  Cheap observability for multi-host
+    runs without materializing the global mask anywhere."""
+    # Owner election across ALL devices (addressable or not): for each
+    # index region, the lowest device id counts it.
+    owners = {}
+    for device, idx in solvable.sharding.devices_indices_map(
+        solvable.shape
+    ).items():
+        key = tuple((s.start, s.stop, s.step) for s in idx)
+        if key not in owners or device.id < owners[key].id:
+            owners[key] = device
     total = 0
     for shard in solvable.addressable_shards:
-        total += int(np.asarray(shard.data).sum())
+        key = tuple((s.start, s.stop, s.step) for s in shard.index)
+        if owners[key] == shard.device:
+            total += int(np.asarray(shard.data).sum())
     return total

@@ -111,11 +111,14 @@ def test_project_donate_matches_and_consumes():
     vel2 = tuple(jnp.array(v, copy=True) for v in velocity)
     old_p = jnp.array(ref.pressure, copy=True)
     got = free_surface.project(setup, vel2, old_pressure=old_p, donate=True)
-    # Warm-started result still converges and matches shapes; the inputs
-    # are consumed.
+    # Warm-started result still converges and matches shapes; the VELOCITY
+    # inputs are consumed while old_pressure is NOT (frame loops retain
+    # the previous pressure they warm-start from -- simulate.run returns
+    # every frame's pressure).
     assert bool(got.cg.converged)
     assert got.pressure.shape == ref.pressure.shape
-    assert vel2[0].is_deleted() and old_p.is_deleted()
+    assert vel2[0].is_deleted() and vel2[1].is_deleted() and vel2[2].is_deleted()
+    assert not old_p.is_deleted()
     # Against the same warm-started non-donating call: bit-identical.
     vel3 = tuple(jnp.array(v, copy=True) for v in velocity)
     ref2 = free_surface.project(
@@ -135,5 +138,14 @@ def test_project_donate_matches_and_consumes():
 
 def test_align_tile_extents_asserts_large_padding():
     assert domain.align_tile_extents((256, 256, 256), 128) == (256, 256, 256)
-    with pytest.raises(AssertionError, match="divide 128"):
+    with pytest.raises(ValueError, match="divide 128"):
         domain.align_tile_extents((1024, 1024, 1024), 256)
+
+
+def test_config_rejects_typo_modes():
+    with pytest.raises(ValueError, match="setup_fusion"):
+        SolverConfig(setup_fusion="per_level")
+    with pytest.raises(ValueError, match="kernel_mode"):
+        SolverConfig(kernel_mode="palas")
+    with pytest.raises(ValueError, match="interior_smoother"):
+        SolverConfig(interior_smoother="cheby")

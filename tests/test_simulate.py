@@ -51,6 +51,13 @@ def test_multiframe_splash_stays_divergence_free():
         num_frames=3, dt=1.0 / 60.0, config=config,
     )
     assert len(frames) == 3
+    # Donation regression (code review r3): every retained frame's pressure
+    # and velocity must remain readable -- run() returns them while also
+    # feeding the pressure forward as the next warm start, so nothing the
+    # caller sees may have been donated away.
+    for fr in frames:
+        for arr in (fr.pressure, *fr.velocity, fr.liquid_phi):
+            np.asarray(arr)
     for fr in frames:
         assert fr.relative_residual <= 1e-6 * 1.01
         # Post-projection divergence audit: the projected field must be
