@@ -9,6 +9,7 @@ size threshold are replicated per chip (communication-avoiding coarse
 strategy).
 """
 
+from geometricmultigridpressuresolver_tpu.parallel import distributed
 from geometricmultigridpressuresolver_tpu.parallel.mesh import (
     factor_mesh,
     make_mesh,
@@ -22,6 +23,7 @@ from geometricmultigridpressuresolver_tpu.parallel.sharding import (
 )
 
 __all__ = [
+    "distributed",
     "factor_mesh",
     "make_mesh",
     "grid_pspec",
