@@ -153,6 +153,77 @@ def step(
     )
 
 
+def main(argv=None):
+    """CLI driver: the flipSplash loop as a command.
+
+    The reference ships `Scenes/flipSplash.hip` as its end-to-end demo; a
+    standalone framework needs a runnable equivalent:
+
+        gmg-tpu-simulate --n 128 --frames 24 --checkpoint-dir out/ckpt \\
+                         --checkpoint-every 8 [--resume out/ckpt]
+    """
+    import argparse
+    import time
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--n", type=int, default=64, help="grid edge")
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--dt", type=float, default=1.0 / 120.0)
+    p.add_argument("--gravity", type=float, default=-9.8)
+    p.add_argument("--tolerance", type=float, default=1e-5)
+    p.add_argument("--fp32", action="store_true",
+                   help="solve in float32 (bfloat16 MG edge weights)")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", default=None,
+                   help="checkpoint directory to resume from")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from geometricmultigridpressuresolver_tpu.models import sdf
+
+    kwargs = {"tolerance": args.tolerance}
+    if args.fp32:
+        kwargs.update(solve_dtype=jnp.float32, mg_dtype=jnp.float32,
+                      mg_ew_dtype=jnp.bfloat16)
+    config = SolverConfig(**kwargs)
+
+    shape = (args.n,) * 3
+    weights = sdf.open_box_weights(shape, xp=jnp)
+    start_frame, old_pressure = 0, None
+    if args.resume:
+        start_frame, phi, velocity, old_pressure = load_state(args.resume)
+        phi = jnp.asarray(phi, dtype=config.solve_dtype)
+        velocity = tuple(jnp.asarray(v, config.solve_dtype) for v in velocity)
+        if old_pressure is not None:
+            old_pressure = jnp.asarray(old_pressure, config.solve_dtype)
+        print(f"resumed frame {start_frame} from {args.resume}", flush=True)
+    else:
+        phi, velocity = sdf.splash_scene(shape, xp=jnp)
+
+    def on_frame(k, fr):
+        print(
+            f"frame {k + 1}: iters={fr.iterations} "
+            f"rel={fr.relative_residual:.2e} max|div|={fr.max_divergence:.2e} "
+            f"({time.time() - t0:.1f}s)",
+            flush=True,
+        )
+
+    t0 = time.time()
+    frames = run(
+        phi, velocity, weights, num_frames=args.frames, dt=args.dt,
+        gravity=args.gravity, config=config, on_frame=on_frame,
+        start_frame=start_frame, old_pressure=old_pressure,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+    )
+    jax.block_until_ready(frames[-1].pressure)
+    print(f"{len(frames)} frames in {time.time() - t0:.1f}s "
+          f"on {jax.devices()[0]}", flush=True)
+    return 0
+
+
 def save_state(directory, frame: int, liquid_phi, velocity, pressure=None) -> None:
     """Checkpoint the simulation state in the native tiled format (io.py).
 
@@ -248,3 +319,9 @@ def run(
         if on_frame is not None:
             on_frame(k, fr)
     return frames
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
