@@ -61,6 +61,36 @@ def test_free_surface_all_defaults():
     assert setup2.expanded_shape == setup.expanded_shape
 
 
+def test_config_matrix_smoke():
+    """A lattice of knob combinations must all solve the same tiny problem
+    (each knob is exercised elsewhere in depth; this guards the
+    COMBINATIONS -- e.g. record_residuals x diagonal preconditioner,
+    donate x warm start, per-level setup x chebyshev)."""
+    labels, weights, mg_levels = helpers.expanded_domain(
+        helpers.simple_domain, 16
+    )
+    b = jnp.asarray(helpers.random_solvable_field(labels, seed=9))
+
+    combos = [
+        dict(use_mg_preconditioner=False, record_residuals=True),
+        dict(use_gauss_seidel=False, record_residuals=True),
+        dict(interior_smoother="chebyshev", setup_fusion="per-level"),
+        dict(transfer_mode="slice", mg_dtype=jnp.float32),
+        dict(project_null_space=False, max_mg_levels=2,
+             setup_fusion="per-level"),
+    ]
+    for kw in combos:
+        config = mgpcg.SolverConfig(tolerance=1e-6, max_iterations=400, **kw)
+        problem = mgpcg.build_problem(labels, weights, mg_levels, config)
+        result = mgpcg.solve(problem, b, config=config, donate=False)
+        assert bool(result.converged), kw
+        result2 = mgpcg.solve(
+            problem, jnp.array(b, copy=True), x0=result.x, config=config,
+            donate=True,
+        )
+        assert bool(result2.converged), kw
+
+
 def test_diagnostics_defaults():
     from geometricmultigridpressuresolver_tpu import diagnostics
 
