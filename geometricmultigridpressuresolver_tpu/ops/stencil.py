@@ -49,7 +49,11 @@ class LevelCoeffs(NamedTuple):
     """
 
     solvable: jax.Array  # bool  (nx, ny, nz)
-    band: jax.Array      # bool  (nx, ny, nz)
+    band: jax.Array      # int8 (0/1) or bool (nx, ny, nz) -- int8 on the
+    #                      device path so the fused kernels stream it
+    #                      without a per-solve astype copy (TPU has no
+    #                      int8 vector compare; the kernels blend on it
+    #                      arithmetically either way)
     diag: jax.Array      # float (nx, ny, nz)
     inv_diag: jax.Array  # float (nx, ny, nz)
     ew0: jax.Array       # float (nx, ny, nz)
@@ -161,7 +165,7 @@ def boundary_jacobi(
     """
     dtype = x.dtype
     update = x + dtype.type(damping) * c.inv_diag * (b - apply_poisson(x, c))
-    return jnp.where(c.band, update, x)
+    return jnp.where(c.band.astype(bool), update, x)
 
 
 def color_mask(shape, color: int) -> jax.Array:

@@ -83,7 +83,9 @@ def _level_coeffs_traced(labels, face_weights, boundary_width: int, dtype, ew_dt
         ew = [w.astype(ew_dtype) for w in ew]
     return stencil.LevelCoeffs(
         solvable=c["solvable"],
-        band=c["band"],
+        # int8 storage: the fused kernels stream the band directly (no
+        # per-solve astype copy); the jnp path casts back to bool for free.
+        band=c["band"].astype(jnp.int8),
         diag=c["diag"],
         inv_diag=c["inv_diag"],
         ew0=ew[0],
