@@ -60,6 +60,7 @@ def main() -> None:
         max_iterations=200,
         setup_fusion=os.environ.get("BENCH_SETUP_FUSION", "fused"),
         fuse_update_norm=os.environ.get("BENCH_FUSE_UPDATE", "0") == "1",
+        pallas_pad_coarse=os.environ.get("BENCH_PAD_COARSE", "1") == "1",
         # Kernel slab-tiling overrides for perf sweeps (0 = config default).
         **{
             k: v

@@ -135,6 +135,20 @@ class SolverConfig:
     # compile path cannot ingest the fused one (e.g. size-limited
     # remote-compile tunnels).
     setup_fusion: str = "fused"
+    # Padded kernel views for coarse levels.  A coarse level often misses
+    # the fused smoother's geometry preconditions (exterior margin < the
+    # halo depth in dims 0/1, interior extents not multiples of 8, lane
+    # extent not a multiple of 128) even though its cell count still makes
+    # the kernel worthwhile.  All three are fixable by appending EXTERIOR
+    # cells: zero coefficients keep the smoothing arithmetic identical on
+    # the natural region (ops.pallas_smoother.padded_view_spec), so the
+    # level's coefficients are padded once per solve and x/b are
+    # padded/sliced around each kernel call (~cells*4B copies, microseconds
+    # at HBM bandwidth).  The guards keep this to levels big enough to pay
+    # for a kernel launch and cheap enough to pad.
+    pallas_pad_coarse: bool = True
+    pallas_pad_min_cells: int = 200_000
+    pallas_pad_max_ratio: float = 1.5
     # Record the relative residual of EVERY CG iteration into
     # CGResult.residual_history (a fixed (max_iterations + 1,) buffer;
     # entries past the exit iteration stay NaN).  The reference prints

@@ -183,6 +183,75 @@ def _vmem_estimate(sx: int, sy: int, nz: int, ew_itemsize: int) -> int:
     return 2 * per_cell * slab + 8 * 4 * slab + (4 << 20)
 
 
+def padded_view_spec(shape, level: int, num_levels: int, config):
+    """Pad widths ((mx, mx), (my, my), (0, pz)) that make an ineligible
+    level eligible for the fused kernel, or None.
+
+    A level misses `eligible` for geometry reasons only: a too-thin
+    exterior margin in dims 0/1 (the builders guarantee only
+    2**(num_levels-1-level) cells per side), interior extents that are not
+    multiples of 8, or a lane extent that is not a multiple of 128.  All
+    three are fixable by appending EXTERIOR cells: zero coefficients and a
+    zero x/b pad make the padded smoothing arithmetic identical on the
+    natural region (every stencil read that crosses the natural boundary
+    is multiplied by a zero edge weight), while the padded shape satisfies
+    the kernel's tiling.  The reference instead smooths such levels with
+    its generic tiled loops (Source/HDK_GeometricMultigridOperators.h:
+    476-728); on TPU re-shaping the problem to fit the fast kernel beats
+    carrying a second kernel family.
+
+    Returns None when the level is already eligible, too small to pay for
+    a kernel launch (config.pallas_pad_min_cells), or when the padded view
+    would stream too many dead cells (config.pallas_pad_max_ratio).
+    """
+    if not config.pallas_pad_coarse:
+        return None
+    if eligible(shape, level, num_levels, config.pallas_block_t):
+        return None
+    nx, ny, nz = shape
+    cells = nx * ny * nz
+    if cells < config.pallas_pad_min_cells:
+        return None
+    natural = 2 ** (num_levels - 1 - level)
+
+    def _margin(n: int):
+        # Smallest per-side margin m with total exterior >= H and interior
+        # extent (n + 2m - 2H) a positive multiple of the tiling quantum 8.
+        for m in range(max(0, H - natural), max(0, H - natural) + 9):
+            if (n + 2 * m - 2 * H) >= 8 and (n + 2 * m - 2 * H) % 8 == 0:
+                return m
+        return None
+
+    mx, my = _margin(nx), _margin(ny)
+    if mx is None or my is None:
+        return None
+    pz = (-nz) % 128
+    padded = (nx + 2 * mx, ny + 2 * my, nz + pz)
+    if padded[0] * padded[1] * padded[2] > config.pallas_pad_max_ratio * cells:
+        return None
+    if _vmem_estimate(8 + 2 * H, 8 + 2 * H, padded[2], 4) > (100 << 20):
+        return None
+    return ((mx, mx), (my, my), (0, pz))
+
+
+def pad_coeffs(coeffs, spec):
+    """Zero-padded copy of a LevelCoeffs per `spec` (from padded_view_spec).
+
+    Pad cells are EXTERIOR by construction: not solvable, not band, zero
+    diag/inv_diag/edge weights -- the padded operator restricted to the
+    natural region IS the natural operator.
+    """
+    return coeffs._replace(
+        solvable=jnp.pad(coeffs.solvable, spec),
+        band=jnp.pad(coeffs.band, spec),
+        diag=jnp.pad(coeffs.diag, spec),
+        inv_diag=jnp.pad(coeffs.inv_diag, spec),
+        ew0=jnp.pad(coeffs.ew0, spec),
+        ew1=jnp.pad(coeffs.ew1, spec),
+        ew2=jnp.pad(coeffs.ew2, spec),
+    )
+
+
 def _neighbor_shift(x, axis: int, up: bool):
     """Zero-filled unit shift along `axis` (block edges read zeros; the
     resulting 1-cell-per-pass garbage ring is inside the halo budget)."""

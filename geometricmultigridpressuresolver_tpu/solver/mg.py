@@ -457,11 +457,13 @@ def _smooth_level(
     `blocks` carries the per-level solve-invariant kernel data from
     `hierarchy_block_lists` and its MEANING follows `use_pallas`: a
     compacted active-slab list (bx, by, n_active) for the single-device
-    fused path (use_pallas is True), or the pre-haloed 5-coefficient
-    tuple for the sharded path (use_pallas == "sharded").  Both are
-    tuples of arrays; passing the wrong kind fails inside the kernel
-    machinery, so always source it from `hierarchy_block_lists`, which
-    builds entry i to match level i's flag.
+    fused path (use_pallas is True), a (pad spec, padded coeffs, slab
+    list) triple for the padded-view path (use_pallas == "padded"), or
+    the pre-haloed 5-coefficient tuple for the sharded path
+    (use_pallas == "sharded").  All are tuples of arrays; passing the
+    wrong kind fails inside the kernel machinery, so always source it
+    from `hierarchy_block_lists`, which builds entry i to match level
+    i's flag.
 
     Reference applyVCycle per-level schedule
     (Source/HDK_GeometricMultigridPoissonSolver.cpp:445-513 and 715-783).
@@ -483,6 +485,30 @@ def _smooth_level(
 
             return x, blas.dot(x, b, c.solvable).astype(jnp.float32)
         return x
+    if use_pallas == "padded":
+        from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
+
+        assert blocks is not None, (
+            "padded kernel levels need the (spec, padded_coeffs, blocks) "
+            "entry from hierarchy_block_lists"
+        )
+        spec, pc, pblocks = blocks
+        nat = x.shape
+        out = pallas_smoother.smooth_level_pallas(
+            jnp.pad(x, spec), jnp.pad(b, spec), pc, config, forward,
+            emit_dot=emit_dot, blocks=pblocks,
+            interpret=config.pallas_interpret, x_is_zero=x_is_zero,
+            emit_residual=emit_residual,
+        )
+        sl = tuple(slice(lo, lo + n) for (lo, _), n in zip(spec, nat))
+        if not isinstance(out, tuple):
+            return out[sl]
+        parts = [out[0][sl]]
+        if emit_residual:
+            parts.append(out[1][sl])
+        if emit_dot:
+            parts.append(out[-1])
+        return tuple(parts)
     if use_pallas == "sharded":
         from geometricmultigridpressuresolver_tpu.parallel import pallas_sharded
 
@@ -559,6 +585,14 @@ def _pallas_level_flags(
             return (False,) * nlev
         if hier.levels[0].diag.dtype != jnp.float32:
             return (False,) * nlev
+    def _single_device_flag(shape, level):
+        # True, "padded" (kernel on a zero-padded exterior view), or False.
+        if pallas_smoother.eligible(shape, level, nlev, config.pallas_block_t):
+            return True
+        if pallas_smoother.padded_view_spec(shape, level, nlev, config):
+            return "padded"
+        return False
+
     if multi:
         from geometricmultigridpressuresolver_tpu.parallel import pallas_sharded
 
@@ -567,11 +601,7 @@ def _pallas_level_flags(
             spec = pallas_sharded._level_spec(mesh, c.shape)
             if all(s is None for s in spec):
                 # Replicated level: the single-device kernel applies.
-                flags.append(
-                    pallas_smoother.eligible(
-                        c.shape, level, nlev, config.pallas_block_t
-                    )
-                )
+                flags.append(_single_device_flag(c.shape, level))
             elif pallas_sharded.sharded_eligible(
                 c.shape, spec, mesh, level, nlev
             ):
@@ -580,9 +610,7 @@ def _pallas_level_flags(
                 flags.append(False)
         return tuple(flags)
     return tuple(
-        pallas_smoother.eligible(
-            c.shape, level, hier.num_levels, config.pallas_block_t
-        )
+        _single_device_flag(c.shape, level)
         for level, c in enumerate(hier.levels)
     )
 
@@ -602,9 +630,18 @@ def hierarchy_block_lists(hier: MGHierarchy, config: SolverConfig, mesh=None):
 
     flags = _pallas_level_flags(hier, config, mesh)
     aux = []
-    for c, flag in zip(hier.levels, flags):
+    for level, (c, flag) in enumerate(zip(hier.levels, flags)):
         if flag is True:
             aux.append(pallas_smoother.level_blocks(c, config))
+        elif flag == "padded":
+            # Padded kernel view: the spec, the zero-padded coefficient
+            # copy (built once per solve; ~MBs at coarse levels), and the
+            # padded view's own active-slab list.
+            spec = pallas_smoother.padded_view_spec(
+                c.shape, level, hier.num_levels, config
+            )
+            pc = pallas_smoother.pad_coeffs(c, spec)
+            aux.append((spec, pc, pallas_smoother.level_blocks(pc, config)))
         elif flag == "sharded":
             from geometricmultigridpressuresolver_tpu.parallel import (
                 pallas_sharded,
@@ -672,7 +709,7 @@ def v_cycle(
         # collapsing the smooth -> residual pair into one HBM round trip.
         x_zero = level > 0 or not use_initial_guess
         fuse_residual = False
-        if pallas_ok[level] in (True, "sharded") and x_zero:
+        if pallas_ok[level] in (True, "sharded", "padded") and x_zero:
             from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
 
             fuse_residual = pallas_smoother.residual_fusable(config, forward=True)

@@ -269,6 +269,9 @@ def vcycle_stage_times(
     nlev = hier.num_levels
     dtype = hier.levels[0].diag.dtype
     pallas_ok = mg_mod._pallas_level_flags(hier, config)
+    # Padded kernel levels need their (spec, padded coeffs, slab list)
+    # aux entry; True levels rebuild their slab list inside the jit.
+    block_lists = mg_mod.hierarchy_block_lists(hier, config)
 
     smooth = jax.jit(
         mg_mod._smooth_level,
@@ -294,7 +297,8 @@ def vcycle_stage_times(
             with timer.stage(f"L{level} smooth (down)"):
                 xl = timer.sync(
                     smooth(xl, rhs[level], c, config=config, forward=True,
-                           use_pallas=pallas_ok[level])
+                           use_pallas=pallas_ok[level],
+                           blocks=block_lists[level])
                 )
             sols[level] = xl
             with timer.stage(f"L{level} residual+restrict"):
@@ -312,7 +316,8 @@ def vcycle_stage_times(
             with timer.stage(f"L{level} smooth (up)"):
                 sols[level] = timer.sync(
                     smooth(xl, rhs[level], c, config=config, forward=False,
-                           use_pallas=pallas_ok[level])
+                           use_pallas=pallas_ok[level],
+                           blocks=block_lists[level])
                 )
         if rep >= warmup:
             for name, s in timer.times.seconds.items():

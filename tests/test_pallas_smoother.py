@@ -314,3 +314,117 @@ def test_residual_fusable_rule():
     assert pallas_smoother.residual_fusable(cfg4)
     cfg7 = SolverConfig(boundary_iterations=7)  # 16 passes -> [8, 8]
     assert not pallas_smoother.residual_fusable(cfg7)
+
+
+def test_padded_view_spec_rules():
+    cfg = SolverConfig()
+    # The 256^3 splash hierarchy's L2 (72, 64, 128): misses eligibility
+    # only on the exterior margin (2**(5-1-2) = 4 < H = 8); a 4-cell pad
+    # per side in x/y fixes it at ratio 1.25.
+    assert not pallas_smoother.eligible((72, 64, 128), level=2, num_levels=5)
+    spec = pallas_smoother.padded_view_spec((72, 64, 128), 2, 5, cfg)
+    assert spec == ((4, 4), (4, 4), (0, 0))
+    # Already-eligible levels return None (no pad needed).
+    assert pallas_smoother.padded_view_spec((288, 256, 384), 0, 5, cfg) is None
+    # Too small to pay for a kernel launch (the min-cells guard).
+    assert pallas_smoother.padded_view_spec((36, 32, 64), 3, 5, cfg) is None
+    # Lane padding that would stream too many dead cells (ratio guard):
+    # (72, 64, 192) needs z 192 -> 256 on top of the x/y margins.
+    assert pallas_smoother.padded_view_spec((72, 64, 192), 2, 5, cfg) is None
+    # ... but a relaxed ratio accepts it, with the z pad in the spec.
+    loose = SolverConfig(pallas_pad_max_ratio=2.0)
+    spec2 = pallas_smoother.padded_view_spec((72, 64, 192), 2, 5, loose)
+    assert spec2 == ((4, 4), (4, 4), (0, 64))
+    # The knob turns the whole mechanism off.
+    off = SolverConfig(pallas_pad_coarse=False)
+    assert pallas_smoother.padded_view_spec((72, 64, 128), 2, 5, off) is None
+
+
+@pytest.fixture(scope="module")
+def padded_level_fixture(fixture32):
+    """A coarse level of the 32^3 hierarchy forced onto the padded path."""
+    hier, _, _, _ = fixture32
+    level = 1
+    c = hier.levels[level]
+    cfg = SolverConfig(
+        solve_dtype=jnp.float32, pallas_pad_min_cells=0,
+        pallas_pad_max_ratio=1e9,
+    )
+    spec = pallas_smoother.padded_view_spec(
+        c.shape, level, hier.num_levels, cfg
+    )
+    assert spec is not None, (c.shape, hier.num_levels)
+    pc = pallas_smoother.pad_coeffs(c, spec)
+    blocks = (spec, pc, pallas_smoother.level_blocks(pc, cfg))
+    rng = np.random.default_rng(11)
+    x = jnp.where(
+        c.solvable, jnp.asarray(rng.standard_normal(c.shape), jnp.float32), 0.0
+    )
+    b = jnp.where(
+        c.solvable, jnp.asarray(rng.standard_normal(c.shape), jnp.float32), 0.0
+    )
+    return c, cfg, blocks, x, b
+
+
+@pytest.mark.parametrize("forward", [True, False])
+def test_padded_smooth_matches_jnp(padded_level_fixture, forward):
+    """Smoothing on the zero-padded exterior view is the natural smoothing:
+    every stencil read crossing the natural boundary carries a zero edge
+    weight, so the pad cells never contribute."""
+    c, cfg_pad, blocks, x, b = padded_level_fixture
+    cfg = SolverConfig(solve_dtype=jnp.float32, pallas_interpret=True)
+    ref = mg_mod._smooth_level(x, b, c, cfg, forward=forward)
+    got = mg_mod._smooth_level(
+        x, b, c, cfg, forward=forward, use_pallas="padded", blocks=blocks
+    )
+    assert got.shape == c.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+    # Pad cells of the padded view are not solvable.
+    assert not bool(blocks[1].solvable[0, 0, 0])
+
+
+def test_padded_smooth_zero_x_residual_dot(padded_level_fixture):
+    """The downstroke fusions (zero-x streaming skip, in-slab residual,
+    rho dot) all ride the padded view, outputs sliced back to the natural
+    window."""
+    from geometricmultigridpressuresolver_tpu.ops import blas, stencil
+
+    c, _, blocks, _, b = padded_level_fixture
+    cfg = SolverConfig(solve_dtype=jnp.float32, pallas_interpret=True)
+    zero = jnp.zeros_like(b)
+    ref = mg_mod._smooth_level(zero, b, c, cfg, forward=True)
+    r_ref = stencil.residual(ref, b, c)
+    got, r_got, dot = mg_mod._smooth_level(
+        zero, b, c, cfg, forward=True, use_pallas="padded", blocks=blocks,
+        x_is_zero=True, emit_residual=True, emit_dot=True,
+    )
+    assert got.shape == c.shape and r_got.shape == c.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(r_got), np.asarray(r_ref), atol=2e-4)
+    np.testing.assert_allclose(
+        float(dot), float(blas.dot(ref, b, c.solvable)), rtol=1e-5
+    )
+
+
+def test_padded_flags_and_vcycle(fixture32):
+    """_pallas_level_flags reports "padded" for pad-eligible levels and the
+    whole V-cycle matches the jnp path with those levels engaged."""
+    hier, _, x, b = fixture32
+    cfg_jnp = SolverConfig(solve_dtype=jnp.float32, kernel_mode="jnp")
+    cfg_pad = SolverConfig(
+        solve_dtype=jnp.float32, kernel_mode="pallas", pallas_interpret=True,
+        pallas_pad_min_cells=0, pallas_pad_max_ratio=1e9,
+    )
+    flags = mg_mod._pallas_level_flags(hier, cfg_pad)
+    assert "padded" in flags, flags
+    # Defaults keep tiny levels off the padded path (min-cells guard).
+    flags_default = mg_mod._pallas_level_flags(
+        hier, SolverConfig(solve_dtype=jnp.float32, kernel_mode="pallas")
+    )
+    assert "padded" not in flags_default, flags_default
+
+    ref = mg_mod.v_cycle(hier, jnp.zeros_like(b), b, cfg_jnp)
+    got = mg_mod.v_cycle(hier, jnp.zeros_like(b), b, cfg_pad)
+    scale = float(jnp.max(jnp.abs(ref))) or 1.0
+    diff = float(jnp.max(jnp.abs(got - ref))) / scale
+    assert diff < 2e-5, diff
