@@ -11,14 +11,16 @@ run() {
   echo "--- rc=$? ---" >> "$LOG"
 }
 
-# 1. Headline at final defaults (also prewarms the driver's exact path).
+# 0. Padded-coarse-kernel A/B at the headline size (new in this round;
+#    the default-on path first so its programs land in the cache).
 run env BENCH_N=256 BENCH_REPS=3 python bench.py
-# 2. North-star tolerance.
+run env BENCH_N=256 BENCH_REPS=3 BENCH_PAD_COARSE=0 python bench.py
+# 1. North-star tolerance.
 run env BENCH_N=256 BENCH_REPS=3 BENCH_TOL=1e-6 python bench.py
-# 3. Ladder points.
+# 2. Ladder points.
 run env BENCH_N=128 BENCH_REPS=3 python bench.py
 run env BENCH_N=320 BENCH_REPS=2 python bench.py
 run env BENCH_N=384 BENCH_REPS=2 python bench.py
-# 4. Post-diet 448^3 attempt (expected tight; OOM is an acceptable answer).
+# 3. Post-diet 448^3 attempt (expected tight; OOM is an acceptable answer).
 run env BENCH_N=448 BENCH_REPS=1 python bench.py
 echo "ALL DONE" >> "$LOG"

@@ -227,7 +227,14 @@ def padded_view_spec(shape, level: int, num_levels: int, config):
         return None
     pz = (-nz) % 128
     padded = (nx + 2 * mx, ny + 2 * my, nz + pz)
-    if padded[0] * padded[1] * padded[2] > config.pallas_pad_max_ratio * cells:
+
+    def _physical(s):
+        # fp32 arrays are (8, 128)-tiled in HBM: sublane (dim 1) extents
+        # round to 8 and lane (dim 2) extents to 128 physically, so pad
+        # that stays inside the tail tiles moves zero extra bytes.
+        return s[0] * (-(-s[1] // 8) * 8) * (-(-s[2] // 128) * 128)
+
+    if _physical(padded) > config.pallas_pad_max_ratio * _physical(shape):
         return None
     if _vmem_estimate(8 + 2 * H, 8 + 2 * H, padded[2], 4) > (100 << 20):
         return None
