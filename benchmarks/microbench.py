@@ -162,6 +162,25 @@ def main():
                    x, (c1.solvable, c0.solvable), k,
                    bytes_per_iter=int(3.3 * cells * fp))
 
+    # Coarse levels on the padded-view kernel vs the jnp block
+    # (config.pallas_pad_coarse, docs/DESIGN.md 2d).
+    flags = mg_mod._pallas_level_flags(hier, config)
+    for level, flag in enumerate(flags):
+        if flag != "padded":
+            continue
+        cl = hier.levels[level]
+        cl_cells = int(np.prod(cl.shape))
+        xl = jnp.asarray(rng.standard_normal(cl.shape), dtype=jnp.float32)
+        bl = jnp.asarray(rng.standard_normal(cl.shape), dtype=jnp.float32)
+        timed_loop(f"L{level} smooth block jnp {cl.shape}",
+                   lambda x, b, c: mg_mod._smooth_level(x, b, c, config, True),
+                   xl, (bl, cl), k, bytes_per_iter=8 * 7 * cl_cells * fp)
+        aux = mg_mod.hierarchy_block_lists(hier, config)[level]
+        timed_loop(f"L{level} smooth block padded kernel",
+                   lambda x, b, c, a: mg_mod._smooth_level(
+                       x, b, c, config, True, use_pallas="padded", blocks=a),
+                   xl, (bl, cl, aux), k, bytes_per_iter=8 * 7 * cl_cells * fp)
+
     # The production preconditioner call: x = 0 entry (zero-x fused
     # downstroke path); the carry feeds b so the loop has a data dep.
     timed_loop("full v_cycle (preconditioner, x = 0)",
