@@ -163,8 +163,14 @@ def main():
                    bytes_per_iter=int(3.3 * cells * fp))
 
     # Coarse levels on the padded-view kernel vs the jnp block
-    # (config.pallas_pad_coarse, docs/DESIGN.md 2d).
+    # (config.pallas_pad_coarse, docs/DESIGN.md 2d).  The aux entries are
+    # (padded coeffs, slab list) -- arrays only, safe to pass through the
+    # timing jit (the pad spec is re-derived from static shapes inside).
     flags = mg_mod._pallas_level_flags(hier, config)
+    block_lists = (
+        mg_mod.hierarchy_block_lists(hier, config)
+        if "padded" in flags else None
+    )
     for level, flag in enumerate(flags):
         if flag != "padded":
             continue
@@ -175,11 +181,11 @@ def main():
         timed_loop(f"L{level} smooth block jnp {cl.shape}",
                    lambda x, b, c: mg_mod._smooth_level(x, b, c, config, True),
                    xl, (bl, cl), k, bytes_per_iter=8 * 7 * cl_cells * fp)
-        aux = mg_mod.hierarchy_block_lists(hier, config)[level]
         timed_loop(f"L{level} smooth block padded kernel",
                    lambda x, b, c, a: mg_mod._smooth_level(
                        x, b, c, config, True, use_pallas="padded", blocks=a),
-                   xl, (bl, cl, aux), k, bytes_per_iter=8 * 7 * cl_cells * fp)
+                   xl, (bl, cl, block_lists[level]), k,
+                   bytes_per_iter=8 * 7 * cl_cells * fp)
 
     # The production preconditioner call: x = 0 entry (zero-x fused
     # downstroke path); the carry feeds b so the loop has a data dep.

@@ -241,6 +241,22 @@ def padded_view_spec(shape, level: int, num_levels: int, config):
     return ((mx, mx), (my, my), (0, pz))
 
 
+def spec_between(natural, padded):
+    """Recover the pad spec from (natural, padded) shapes.
+
+    Inverse of padded_view_spec's construction (symmetric margins in dims
+    0/1, trailing-only lane pad) -- lets consumers carry only the padded
+    coefficient arrays across jit boundaries and re-derive the spec from
+    static shapes instead of shipping Python ints that would trace into
+    tracers.
+    """
+    (nx, ny, nz), (px, py, pz) = natural, padded
+    assert (px - nx) % 2 == 0 and (py - ny) % 2 == 0 and pz >= nz, (
+        natural, padded,
+    )
+    return ((px - nx) // 2, (px - nx) // 2), ((py - ny) // 2, (py - ny) // 2), (0, pz - nz)
+
+
 def pad_coeffs(coeffs, spec):
     """Zero-padded copy of a LevelCoeffs per `spec` (from padded_view_spec).
 

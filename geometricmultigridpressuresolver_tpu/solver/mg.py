@@ -457,8 +457,8 @@ def _smooth_level(
     `blocks` carries the per-level solve-invariant kernel data from
     `hierarchy_block_lists` and its MEANING follows `use_pallas`: a
     compacted active-slab list (bx, by, n_active) for the single-device
-    fused path (use_pallas is True), a (pad spec, padded coeffs, slab
-    list) triple for the padded-view path (use_pallas == "padded"), or
+    fused path (use_pallas is True), a (padded coeffs, slab list) pair
+    for the padded-view path (use_pallas == "padded"), or
     the pre-haloed 5-coefficient tuple for the sharded path
     (use_pallas == "sharded").  All are tuples of arrays; passing the
     wrong kind fails inside the kernel machinery, so always source it
@@ -489,11 +489,16 @@ def _smooth_level(
         from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
 
         assert blocks is not None, (
-            "padded kernel levels need the (spec, padded_coeffs, blocks) "
-            "entry from hierarchy_block_lists"
+            "padded kernel levels need the (padded_coeffs, blocks) entry "
+            "from hierarchy_block_lists"
         )
-        spec, pc, pblocks = blocks
+        pc, pblocks = blocks
         nat = x.shape
+        # The pad spec is DERIVED from the two static shapes (symmetric x/y
+        # margins + trailing lane pad, exactly how padded_view_spec builds
+        # it) rather than carried in `blocks`: a spec of Python ints would
+        # become tracers across a jit boundary and break jnp.pad.
+        spec = pallas_smoother.spec_between(nat, pc.shape)
         out = pallas_smoother.smooth_level_pallas(
             jnp.pad(x, spec), jnp.pad(b, spec), pc, config, forward,
             emit_dot=emit_dot, blocks=pblocks,
@@ -634,14 +639,18 @@ def hierarchy_block_lists(hier: MGHierarchy, config: SolverConfig, mesh=None):
         if flag is True:
             aux.append(pallas_smoother.level_blocks(c, config))
         elif flag == "padded":
-            # Padded kernel view: the spec, the zero-padded coefficient
-            # copy (built once per solve; ~MBs at coarse levels), and the
-            # padded view's own active-slab list.
+            # Padded kernel view: the zero-padded coefficient copy (built
+            # once per solve; ~MBs at coarse levels) and the padded view's
+            # own active-slab list.  The spec call here repeats the one
+            # inside _pallas_level_flags (same arguments, pure host
+            # arithmetic); consumers re-derive it from the static shapes
+            # (spec_between), so flag/spec consistency holds by
+            # construction.
             spec = pallas_smoother.padded_view_spec(
                 c.shape, level, hier.num_levels, config
             )
             pc = pallas_smoother.pad_coeffs(c, spec)
-            aux.append((spec, pc, pallas_smoother.level_blocks(pc, config)))
+            aux.append((pc, pallas_smoother.level_blocks(pc, config)))
         elif flag == "sharded":
             from geometricmultigridpressuresolver_tpu.parallel import (
                 pallas_sharded,

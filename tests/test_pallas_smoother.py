@@ -362,7 +362,8 @@ def padded_level_fixture(fixture32):
     )
     assert spec is not None, (c.shape, hier.num_levels)
     pc = pallas_smoother.pad_coeffs(c, spec)
-    blocks = (spec, pc, pallas_smoother.level_blocks(pc, cfg))
+    assert pallas_smoother.spec_between(c.shape, pc.shape) == spec
+    blocks = (pc, pallas_smoother.level_blocks(pc, cfg))
     rng = np.random.default_rng(11)
     x = jnp.where(
         c.solvable, jnp.asarray(rng.standard_normal(c.shape), jnp.float32), 0.0
@@ -387,7 +388,7 @@ def test_padded_smooth_matches_jnp(padded_level_fixture, forward):
     assert got.shape == c.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
     # Pad cells of the padded view are not solvable.
-    assert not bool(blocks[1].solvable[0, 0, 0])
+    assert not bool(blocks[0].solvable[0, 0, 0])
 
 
 def test_padded_smooth_zero_x_residual_dot(padded_level_fixture):
@@ -424,11 +425,22 @@ def test_padded_flags_and_vcycle(fixture32):
     )
     flags = mg_mod._pallas_level_flags(hier, cfg_pad)
     assert "padded" in flags, flags
-    # Defaults keep tiny levels off the padded path (min-cells guard).
+    # Default guards: the fine level (262k cells, physically-free lane pad
+    # 64 -> 128) qualifies, but every coarse level of this 32^3 hierarchy
+    # is below pallas_pad_min_cells and stays on the jnp path.
     flags_default = mg_mod._pallas_level_flags(
         hier, SolverConfig(solve_dtype=jnp.float32, kernel_mode="pallas")
     )
-    assert "padded" not in flags_default, flags_default
+    assert "padded" not in flags_default[1:], flags_default
+    # The knob disables the mechanism outright.
+    flags_off = mg_mod._pallas_level_flags(
+        hier,
+        SolverConfig(
+            solve_dtype=jnp.float32, kernel_mode="pallas",
+            pallas_pad_coarse=False,
+        ),
+    )
+    assert "padded" not in flags_off, flags_off
 
     ref = mg_mod.v_cycle(hier, jnp.zeros_like(b), b, cfg_jnp)
     got = mg_mod.v_cycle(hier, jnp.zeros_like(b), b, cfg_pad)
