@@ -42,6 +42,45 @@ def main() -> None:
 
     import jax.numpy as jnp
 
+    # Backend-init watchdog: when the remote-attach relay is down, PJRT
+    # init blocks forever inside native code (no error, signals don't
+    # interrupt it).  Fail fast with a diagnosable message instead of
+    # hanging the caller; healthy init is seconds, so 5 min is generous.
+    import threading
+
+    def _init_timeout():
+        log(
+            "FATAL: TPU backend init exceeded 300 s -- the remote-attach "
+            "relay is likely down (PJRT init blocks with no error while "
+            "the tunnel is unreachable).  Retry once the relay recovers."
+        )
+        os._exit(1)
+
+    watchdog = threading.Timer(300.0, _init_timeout)
+    watchdog.daemon = True
+    watchdog.start()
+    devices = jax.devices()
+    watchdog.cancel()
+
+    # Whole-run deadline: the OTHER observed outage mode keeps PJRT init
+    # and cached-program execution alive while every NEW remote compile
+    # hangs with no error.  A fully cold 256^3 run is ~7 programs at
+    # ~60-90 s each plus the solve, well under this default.
+    deadline_s = float(os.environ.get("BENCH_DEADLINE", "2700"))
+
+    def _run_timeout():
+        log(
+            f"FATAL: bench exceeded {deadline_s:.0f} s (BENCH_DEADLINE) -- "
+            "most likely a remote compile is hung (relay compile service "
+            "down); cached programs keep executing during such outages, "
+            "so rerunning after recovery will be warm."
+        )
+        os._exit(1)
+
+    run_watchdog = threading.Timer(deadline_s, _run_timeout)
+    run_watchdog.daemon = True
+    run_watchdog.start()
+
     from geometricmultigridpressuresolver_tpu.config import SolverConfig
     from geometricmultigridpressuresolver_tpu.models import free_surface, sdf
     from geometricmultigridpressuresolver_tpu.solver import mgpcg
@@ -50,7 +89,7 @@ def main() -> None:
     tol = float(os.environ.get("BENCH_TOL", "1e-5"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
-    log(f"bench: {n}^3 free-surface MGPCG, tol={tol}, device={jax.devices()[0]}")
+    log(f"bench: {n}^3 free-surface MGPCG, tol={tol}, device={devices[0]}")
 
     config = SolverConfig(
         solve_dtype=jnp.float32,
