@@ -100,6 +100,10 @@ def main() -> None:
         setup_fusion=os.environ.get("BENCH_SETUP_FUSION", "fused"),
         fuse_update_norm=os.environ.get("BENCH_FUSE_UPDATE", "0") == "1",
         pallas_pad_coarse=os.environ.get("BENCH_PAD_COARSE", "1") == "1",
+        # k boundary passes per half-block (reference constant 3;
+        # HDK_GeometricMultigridPoissonSolver.cpp:141-142).  A/B knob for
+        # wall-clock at equal convergence -- schedule is config, not law.
+        boundary_iterations=int(os.environ.get("BENCH_BOUNDARY_ITERS", "3")),
         # Kernel slab-tiling overrides for perf sweeps (0 = config default).
         **{
             k: v
