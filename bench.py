@@ -97,9 +97,9 @@ def main() -> None:
         mg_ew_dtype=jnp.bfloat16,
         tolerance=tol,
         max_iterations=200,
-        setup_fusion=os.environ.get("BENCH_SETUP_FUSION", "fused"),
+        setup_fusion=os.environ.get("BENCH_SETUP_FUSION", "auto"),
         fuse_update_norm=os.environ.get("BENCH_FUSE_UPDATE", "0") == "1",
-        pallas_pad_coarse=os.environ.get("BENCH_PAD_COARSE", "1") == "1",
+        pallas_pad_coarse=os.environ.get("BENCH_PAD_COARSE", "0") == "1",
         # k boundary passes per half-block (reference constant 3;
         # HDK_GeometricMultigridPoissonSolver.cpp:141-142).  A/B knob for
         # wall-clock at equal convergence -- schedule is config, not law.

@@ -6,8 +6,11 @@ measurement here jits a `lax.fori_loop` of K applications and divides.
 Usage: python benchmarks/microbench.py [N [K]]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

@@ -21,6 +21,10 @@ Usage: JAX_PLATFORMS=cpu JAX_ENABLE_X64=1 python benchmarks/precision_ab.py [N]
 import sys
 import time
 
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_enable_x64", True)

@@ -11,6 +11,10 @@ densify); this script times the public API stages to verify the fix.
 
 import time
 
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/gmg_jax_cache")

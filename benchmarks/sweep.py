@@ -10,6 +10,10 @@ import json
 import sys
 import time
 
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/gmg_jax_cache")

@@ -133,8 +133,15 @@ class SolverConfig:
     # runtimes.  "per-level": one program per hierarchy level (plus the
     # expansion) -- smaller individual programs for environments whose
     # compile path cannot ingest the fused one (e.g. size-limited
-    # remote-compile tunnels).
-    setup_fusion: str = "fused"
+    # remote-compile tunnels), AND the path that fits the biggest grids:
+    # the fused program's workspace holds every hierarchy intermediate in
+    # one live range, which exhausts HBM at 448^3 (125.8M-cell window)
+    # where the per-level build plus the solve itself fit fine (measured
+    # round 4: 448^3 solves at 32.1M DOF/s per-level; the fused setup
+    # OOMs).  "auto" (default): per-level above SETUP_FUSION_AUTO_CELLS
+    # expanded-window cells, fused otherwise -- fused is measured safe at
+    # 384^3 (95.4M cells) and OOM at 448^3, so the threshold sits between.
+    setup_fusion: str = "auto"
     # Padded kernel views for coarse levels.  A coarse level often misses
     # the fused smoother's geometry preconditions (exterior margin < the
     # halo depth in dims 0/1, interior extents not multiples of 8, lane
@@ -146,7 +153,17 @@ class SolverConfig:
     # padded/sliced around each kernel call (~cells*4B copies, microseconds
     # at HBM bandwidth).  The guards keep this to levels big enough to pay
     # for a kernel launch and cheap enough to pad.
-    pallas_pad_coarse: bool = True
+    #
+    # Default OFF: the round-4 TPU A/B measured the padded path a wash at
+    # 256^3 (28.19M vs 28.22M DOF/s) and a clear regression at 128^3
+    # (0.050 s vs 0.043 s, 15.3M vs 17.8M DOF/s) -- the padded kernel on
+    # the 256^3 hierarchy's L2 runs 0.341 ms vs 0.295 ms for the jnp
+    # block (benchmarks/RESULTS.md, round-4 section): at coarse-level
+    # sizes the kernel's DMA orchestration overhead exceeds what XLA's
+    # fused stencil already achieves, and the pad/slice wrappers add HBM
+    # copies on top.  The mechanism stays available for hierarchies whose
+    # mid levels are big enough to profit (opt in explicitly).
+    pallas_pad_coarse: bool = False
     pallas_pad_min_cells: int = 200_000
     pallas_pad_max_ratio: float = 1.5
     # Record the relative residual of EVERY CG iteration into
@@ -164,7 +181,7 @@ class SolverConfig:
         allowed = {
             "kernel_mode": ("auto", "jnp", "pallas"),
             "transfer_mode": ("auto", "mm", "slice"),
-            "setup_fusion": ("fused", "per-level"),
+            "setup_fusion": ("auto", "fused", "per-level"),
             "interior_smoother": (None, "chebyshev"),
         }
         for name, values in allowed.items():
@@ -173,6 +190,25 @@ class SolverConfig:
                 raise ValueError(
                     f"config.{name}={value!r}; expected one of {values}"
                 )
+
+    # Measured bracket for the fused setup program's HBM workspace on one
+    # 16 GB v5e: OK at a 95.4M-cell window (384^3 scene), RESOURCE_EXHAUSTED
+    # at 125.8M (448^3).  "auto" switches to per-level between the two.
+    SETUP_FUSION_AUTO_CELLS = 100_000_000
+
+    def setup_fusion_resolved(self, expanded_shape) -> str:
+        """The concrete setup granularity for a window of `expanded_shape`.
+
+        Both build paths (models.free_surface.build_setup and
+        solver.mg.device_hierarchy) resolve from the same expanded-window
+        shape, so an "auto" config picks one granularity consistently.
+        """
+        if self.setup_fusion != "auto":
+            return self.setup_fusion
+        cells = 1
+        for s in expanded_shape:
+            cells *= int(s)
+        return "per-level" if cells > self.SETUP_FUSION_AUTO_CELLS else "fused"
 
     @property
     def mg_dtype_resolved(self):

@@ -576,7 +576,7 @@ def build_setup(
     target_levels = mg_levels
     if config.max_mg_levels is not None:
         target_levels = min(target_levels, config.max_mg_levels)
-    if config.setup_fusion != "per-level":
+    if config.setup_fusion_resolved(expanded_shape) != "per-level":
         labels, exp_weights, levels, flags, label_levels, fine = (
             _expand_build_device(
                 window_labels, mg_weights, window_start, base_pads,

@@ -200,7 +200,7 @@ def device_hierarchy(labels, face_weights, target_levels: int, config,
     environments whose compile path cannot ingest the fused program.
     """
     dtype = config.mg_dtype_resolved
-    if config.setup_fusion != "per-level":
+    if config.setup_fusion_resolved(labels.shape) != "per-level":
         return _device_hierarchy(
             labels, face_weights, target_levels, config.boundary_width,
             dtype, config.mg_ew_dtype, fine_dtype, fine_full,

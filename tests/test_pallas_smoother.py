@@ -317,7 +317,9 @@ def test_residual_fusable_rule():
 
 
 def test_padded_view_spec_rules():
-    cfg = SolverConfig()
+    # pallas_pad_coarse defaults OFF (measured regression at 128^3, see
+    # config.py); the spec rules are exercised with the mechanism enabled.
+    cfg = SolverConfig(pallas_pad_coarse=True)
     # The 256^3 splash hierarchy's L2 (72, 64, 128): misses eligibility
     # only on the exterior margin (2**(5-1-2) = 4 < H = 8); a 4-cell pad
     # per side in x/y fixes it at ratio 1.25.
@@ -336,10 +338,12 @@ def test_padded_view_spec_rules():
     # Margins in dims 0/1 DO move real bytes: a thin level whose margins
     # nearly double the physical footprint is rejected by the ratio guard
     # (min-cells relaxed so the ratio guard is what fires) ...
-    tight = SolverConfig(pallas_pad_min_cells=0)
+    tight = SolverConfig(pallas_pad_coarse=True, pallas_pad_min_cells=0)
     assert pallas_smoother.padded_view_spec((24, 24, 512), 1, 2, tight) is None
     # ... and accepted once the ratio allows it.
-    loose = SolverConfig(pallas_pad_min_cells=0, pallas_pad_max_ratio=3.0)
+    loose = SolverConfig(
+        pallas_pad_coarse=True, pallas_pad_min_cells=0, pallas_pad_max_ratio=3.0
+    )
     spec3 = pallas_smoother.padded_view_spec((24, 24, 512), 1, 2, loose)
     assert spec3 == ((8, 8), (8, 8), (0, 0))
     # The knob turns the whole mechanism off.
@@ -354,8 +358,8 @@ def padded_level_fixture(fixture32):
     level = 1
     c = hier.levels[level]
     cfg = SolverConfig(
-        solve_dtype=jnp.float32, pallas_pad_min_cells=0,
-        pallas_pad_max_ratio=1e9,
+        solve_dtype=jnp.float32, pallas_pad_coarse=True,
+        pallas_pad_min_cells=0, pallas_pad_max_ratio=1e9,
     )
     spec = pallas_smoother.padded_view_spec(
         c.shape, level, hier.num_levels, cfg
@@ -421,17 +425,29 @@ def test_padded_flags_and_vcycle(fixture32):
     cfg_jnp = SolverConfig(solve_dtype=jnp.float32, kernel_mode="jnp")
     cfg_pad = SolverConfig(
         solve_dtype=jnp.float32, kernel_mode="pallas", pallas_interpret=True,
-        pallas_pad_min_cells=0, pallas_pad_max_ratio=1e9,
+        pallas_pad_coarse=True, pallas_pad_min_cells=0,
+        pallas_pad_max_ratio=1e9,
     )
     flags = mg_mod._pallas_level_flags(hier, cfg_pad)
     assert "padded" in flags, flags
-    # Default guards: the fine level (262k cells, physically-free lane pad
-    # 64 -> 128) qualifies, but every coarse level of this 32^3 hierarchy
-    # is below pallas_pad_min_cells and stays on the jnp path.
+    # Default config: pallas_pad_coarse is OFF (measured regression at
+    # 128^3, see config.py) -- no level takes the padded view.
     flags_default = mg_mod._pallas_level_flags(
         hier, SolverConfig(solve_dtype=jnp.float32, kernel_mode="pallas")
     )
-    assert "padded" not in flags_default[1:], flags_default
+    assert "padded" not in flags_default, flags_default
+    # With the mechanism enabled but default guards, the fine level (262k
+    # cells, physically-free lane pad 64 -> 128) qualifies, but every
+    # coarse level of this 32^3 hierarchy is below pallas_pad_min_cells
+    # and stays on the jnp path.
+    flags_guarded = mg_mod._pallas_level_flags(
+        hier,
+        SolverConfig(
+            solve_dtype=jnp.float32, kernel_mode="pallas",
+            pallas_pad_coarse=True,
+        ),
+    )
+    assert "padded" not in flags_guarded[1:], flags_guarded
     # The knob disables the mechanism outright.
     flags_off = mg_mod._pallas_level_flags(
         hier,

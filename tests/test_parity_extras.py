@@ -142,6 +142,21 @@ def test_align_tile_extents_asserts_large_padding():
         domain.align_tile_extents((1024, 1024, 1024), 256)
 
 
+def test_setup_fusion_auto_resolution():
+    """"auto" resolves per-level above the measured fused-workspace OOM
+    bracket (fused OK at 384^3's 95.4M-cell window, OOM at 448^3's
+    125.8M; see config.py / benchmarks/RESULTS.md round 4)."""
+    auto = SolverConfig()  # default is "auto"
+    assert auto.setup_fusion == "auto"
+    assert auto.setup_fusion_resolved((448, 416, 512)) == "fused"  # 95.4M
+    assert auto.setup_fusion_resolved((512, 480, 512)) == "per-level"  # 125.8M
+    # Explicit modes pass through untouched regardless of size.
+    assert SolverConfig(setup_fusion="fused").setup_fusion_resolved(
+        (512, 480, 512)) == "fused"
+    assert SolverConfig(setup_fusion="per-level").setup_fusion_resolved(
+        (64, 64, 64)) == "per-level"
+
+
 def test_config_rejects_typo_modes():
     with pytest.raises(ValueError, match="setup_fusion"):
         SolverConfig(setup_fusion="per_level")

@@ -344,7 +344,8 @@ def test_padded_flag_under_multi_device_mesh():
     cfg_pad = SolverConfig(
         solve_dtype=jnp.float32, mg_dtype=jnp.float32,
         coarse_dof_target=1, kernel_mode="pallas", pallas_interpret=True,
-        pallas_pad_min_cells=0, pallas_pad_max_ratio=1e9,
+        pallas_pad_coarse=True, pallas_pad_min_cells=0,
+        pallas_pad_max_ratio=1e9,
     )
     liquid_phi, _ = sdf.splash_scene((64, 64, 64))
     weights = sdf.open_box_weights((64, 64, 64))
