@@ -9,9 +9,9 @@ Round 3 therefore fused setup into three device programs
 densify); this script times the public API stages to verify the fix.
 """
 
-import time
-
 import os
+import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -21,7 +21,6 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/gmg_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import functools
-import sys
 
 import jax.numpy as jnp
 

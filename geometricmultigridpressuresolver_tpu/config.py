@@ -193,15 +193,21 @@ class SolverConfig:
 
     # Measured bracket for the fused setup program's HBM workspace on one
     # 16 GB v5e: OK at a 95.4M-cell window (384^3 scene), RESOURCE_EXHAUSTED
-    # at 125.8M (448^3).  "auto" switches to per-level between the two.
-    SETUP_FUSION_AUTO_CELLS = 100_000_000
+    # at 125.8M (448^3).  "auto" switches to per-level at the top of the
+    # measured-safe side of the bracket, so it never picks fused in the
+    # unverified 95.4M..125.8M region.
+    SETUP_FUSION_AUTO_CELLS = 96_000_000
 
     def setup_fusion_resolved(self, expanded_shape) -> str:
         """The concrete setup granularity for a window of `expanded_shape`.
 
-        Both build paths (models.free_surface.build_setup and
-        solver.mg.device_hierarchy) resolve from the same expanded-window
-        shape, so an "auto" config picks one granularity consistently.
+        Resolution is per entry point, from the shape that entry point
+        actually builds: free_surface.build_setup passes the expanded
+        window it computed, while mgpcg.build_problem / mg.device_hierarchy
+        pass the fine-label grid they were handed (which on those entry
+        points IS the already-expanded domain, per their contracts).  Each
+        build path is internally consistent; entry points only diverge if
+        callers hand them differently-shaped domains.
         """
         if self.setup_fusion != "auto":
             return self.setup_fusion

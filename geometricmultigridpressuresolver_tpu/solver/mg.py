@@ -292,8 +292,10 @@ def build_hierarchy(
         else tuple(jnp.asarray(w, dtype=dtype) for w in face_weights)
     )
 
-    # Build every level on device (ONE program under the default
-    # setup_fusion="fused"; see _build_levels_traced), then finish on host.
+    # Build every level on device (ONE program when setup_fusion="auto"
+    # resolves to "fused" -- windows up to SETUP_FUSION_AUTO_CELLS -- see
+    # _build_levels_traced; one program per level above it), then finish
+    # on host.
     levels, flags, label_levels, _ = device_hierarchy(
         cur, fw, target_levels, config
     )
