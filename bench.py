@@ -95,6 +95,12 @@ def main() -> None:
         solve_dtype=jnp.float32,
         mg_dtype=jnp.float32,
         mg_ew_dtype=jnp.bfloat16,
+        # bf16 V-cycle field storage A/B (round-5 measurement; fp32 compute
+        # in-kernel either way).
+        mg_field_dtype=(
+            jnp.bfloat16 if os.environ.get("BENCH_FIELD_BF16", "0") == "1"
+            else None
+        ),
         tolerance=tol,
         max_iterations=200,
         setup_fusion=os.environ.get("BENCH_SETUP_FUSION", "auto"),

@@ -110,6 +110,21 @@ class SolverConfig:
     # preserves operator symmetry exactly, so the V-cycle remains a valid
     # CG preconditioner.  The outer CG operator always stays in solve_dtype.
     mg_ew_dtype: Any = None
+    # Storage dtype of the V-cycle's solution / rhs / residual FIELDS on
+    # levels running the fused smoother kernels (None keeps the mg dtype).
+    # bfloat16 halves the x/b/inv_diag DMA traffic of every smoother pass
+    # stack -- the dominant term of the compute-bound fine-level ledger
+    # (benchmarks/RESULTS.md round-4) -- while the kernel still computes in
+    # fp32 on the VMEM-resident slabs (ops.pallas_smoother._make_kernel
+    # compute_dtype).  The quantization is deterministic and applied
+    # identically on the adjoint-ordered down/up strokes, so the
+    # preconditioner remains the same fixed symmetric(-to-rounding)
+    # operator every CG iteration -- the same argument mg_ew_dtype makes
+    # for the edge weights; the outer CG operator always stays in
+    # solve_dtype, so the CONVERGED ANSWER is unaffected (tolerance is
+    # checked against the fp32/fp64 recurrence).  Only levels whose kernel
+    # flag is True/"padded" narrow; jnp and sharded levels keep mg dtype.
+    mg_field_dtype: Any = None
     # Transfer operators: "mm" runs restriction/prolongation as per-axis
     # matmuls on the MXU (exactly adjoint by construction: the prolongation
     # uses the transposed restriction matrix), "slice" is the shift-based
@@ -198,7 +213,7 @@ class SolverConfig:
     # unverified 95.4M..125.8M region.
     SETUP_FUSION_AUTO_CELLS = 96_000_000
 
-    def setup_fusion_resolved(self, expanded_shape) -> str:
+    def setup_fusion_resolved(self, expanded_shape, n_devices: int = 1) -> str:
         """The concrete setup granularity for a window of `expanded_shape`.
 
         Resolution is per entry point, from the shape that entry point
@@ -208,13 +223,21 @@ class SolverConfig:
         points IS the already-expanded domain, per their contracts).  Each
         build path is internally consistent; entry points only diverge if
         callers hand them differently-shaped domains.
+
+        With `n_devices` (sharded setup over a mesh) the workspace
+        threshold scales: the fused program's live range splits across the
+        mesh, so per-DEVICE cells are what the measured HBM bracket
+        constrains.
         """
         if self.setup_fusion != "auto":
             return self.setup_fusion
         cells = 1
         for s in expanded_shape:
             cells *= int(s)
-        return "per-level" if cells > self.SETUP_FUSION_AUTO_CELLS else "fused"
+        per_device = cells // max(1, n_devices)
+        return (
+            "per-level" if per_device > self.SETUP_FUSION_AUTO_CELLS else "fused"
+        )
 
     @property
     def mg_dtype_resolved(self):

@@ -184,6 +184,13 @@ class ProjectionSetup(NamedTuple):
     base_pads: tuple[tuple[int, int], ...]  # static per-axis base padding
     padding: int                         # multigrid exterior padding
     mg_levels: int
+    # Static window origin (sharded setups only; None on the single-device
+    # path, where the origin stays a traced device scalar so moving-liquid
+    # frames reuse one compiled program).  When set, the per-frame
+    # embed/extract use fully-static slices that partition over the mesh
+    # without resharding.  Appended last with a default so positional
+    # consumers of the public NamedTuple keep their meaning.
+    window_start_static: tuple[int, int, int] | None = None
 
     @property
     def liquid_mask(self) -> jax.Array:
@@ -297,28 +304,74 @@ def _setup_base_fields(
     return material, valid, grad_scale, mg_labels, trimmed, mg_weights, projections
 
 
-def _expand_window_fields(mg_labels, mg_weights, start, base_pads, expanded_shape):
+def _window_static(arr, start, base_pads, out_shape, fill):
+    """out[j] = base[start - pad_lo + j] with `fill` outside the base grid.
+
+    The fully-STATIC form of the window slice (start / pads / shapes all
+    Python ints), used on the sharded-setup path: a dynamic_slice with
+    traced start on a block-partitioned operand forces the GSPMD
+    partitioner to reshard the whole padded base (it cannot prove the
+    offsets respect shard boundaries), while a static pad+slice partitions
+    exactly.  One-shot large builds trade the per-window recompile for it.
+    """
+    xp = _xp(arr)
+    sl, pads = [], []
+    for a in range(3):
+        off = int(start[a]) - base_pads[a][0]
+        lo_fill = max(0, -off)
+        b_lo = min(max(0, off), arr.shape[a])
+        b_hi = max(b_lo, min(arr.shape[a], off + out_shape[a]))
+        hi_fill = out_shape[a] - lo_fill - (b_hi - b_lo)
+        sl.append(slice(b_lo, b_hi))
+        pads.append((lo_fill, hi_fill))
+    return xp.pad(arr[tuple(sl)], pads, constant_values=fill)
+
+
+def _expand_window_fields(mg_labels, mg_weights, start, base_pads, expanded_shape,
+                          static_start=None, mesh=None):
     """Step 4: slice the multigrid window out of the exterior-padded base.
 
     `start` is TRACED (int32[3]); only shapes are static, so consecutive
     frames with moving liquid share one compiled program.  Covers both the
     compact bbox window and the reference-style full-grid expansion (where
     the window is the whole padded grid, Source/HDK_GeometricMultigridOperators.h:1328-1456).
+
+    `static_start` (sharded setup) switches to the fully-static slice so the
+    expansion partitions over `mesh` without resharding (see _window_static);
+    `start` is then ignored.
     """
     from geometricmultigridpressuresolver_tpu.grids import face_shape
 
     xp = _xp(mg_labels)
     base = xp.where(mg_labels == int(CellLabel.BOUNDARY), int(CellLabel.INTERIOR),
                     mg_labels).astype(np.int8)
-    lbl_p = xp.pad(base, base_pads, constant_values=int(CellLabel.EXTERIOR))
-    idx = (start[0], start[1], start[2])
-    labels = jax.lax.dynamic_slice(lbl_p, idx, expanded_shape)
-    exp_weights = []
-    for axis in range(3):
-        w_p = xp.pad(mg_weights[axis], base_pads, constant_values=0.0)
-        exp_weights.append(
-            jax.lax.dynamic_slice(w_p, idx, face_shape(expanded_shape, axis))
+    if static_start is not None:
+        labels = _window_static(
+            base, static_start, base_pads, expanded_shape,
+            int(CellLabel.EXTERIOR),
         )
+        exp_weights = [
+            _window_static(
+                mg_weights[axis], static_start, base_pads,
+                face_shape(expanded_shape, axis), 0.0,
+            )
+            for axis in range(3)
+        ]
+    else:
+        lbl_p = xp.pad(base, base_pads, constant_values=int(CellLabel.EXTERIOR))
+        idx = (start[0], start[1], start[2])
+        labels = jax.lax.dynamic_slice(lbl_p, idx, expanded_shape)
+        exp_weights = []
+        for axis in range(3):
+            w_p = xp.pad(mg_weights[axis], base_pads, constant_values=0.0)
+            exp_weights.append(
+                jax.lax.dynamic_slice(w_p, idx, face_shape(expanded_shape, axis))
+            )
+    if mesh is not None:
+        from geometricmultigridpressuresolver_tpu.parallel.mesh import constrain_grid
+
+        labels = constrain_grid(labels, mesh)
+        exp_weights = [constrain_grid(w, mesh) for w in exp_weights]
     labels = domain_ops.set_boundary_labels(labels, exp_weights)
     return labels, exp_weights
 
@@ -339,7 +392,7 @@ def _jitted():
         )
         _expand_window_jit = jax.jit(
             _expand_window_fields,
-            static_argnames=("base_pads", "expanded_shape"),
+            static_argnames=("base_pads", "expanded_shape", "static_start", "mesh"),
         )
     return _setup_base_jit, _expand_window_jit
 
@@ -348,7 +401,8 @@ def _jitted():
     jax.jit,
     static_argnames=(
         "base_pads", "expanded_shape", "target_levels", "boundary_width",
-        "mg_dtype", "ew_dtype", "fine_dtype", "fine_full",
+        "mg_dtype", "ew_dtype", "fine_dtype", "fine_full", "static_start",
+        "mesh",
     ),
 )
 def _expand_build_device(
@@ -363,6 +417,8 @@ def _expand_build_device(
     ew_dtype,
     fine_dtype,
     fine_full: bool,
+    static_start=None,
+    mesh=None,
 ):
     """Window expansion + EVERY hierarchy level + the fine CG operator as
     ONE compiled program.
@@ -373,15 +429,20 @@ def _expand_build_device(
     BENCH_r02 post-mortem: 279 s warm / 762 s cold setup from ~10 device
     programs plus eager ops).  This program plus _setup_base_fields plus
     the coarse densify/invert makes THREE total.
+
+    With `mesh` (sharded setup) the whole program runs SPMD over
+    block-partitioned inputs; `static_start` replaces the traced window
+    origin so the expansion slice partitions statically.
     """
     from geometricmultigridpressuresolver_tpu.solver import mg as mg_mod
 
     labels, exp_weights = _expand_window_fields(
-        window_labels, mg_weights, window_start, base_pads, expanded_shape
+        window_labels, mg_weights, window_start, base_pads, expanded_shape,
+        static_start=static_start, mesh=mesh,
     )
     levels, flags, label_levels, fine = mg_mod._build_levels_traced(
         labels, tuple(exp_weights), target_levels, boundary_width,
-        mg_dtype, ew_dtype, fine_dtype, fine_full,
+        mg_dtype, ew_dtype, fine_dtype, fine_full, mesh=mesh,
     )
     return labels, exp_weights, levels, flags, label_levels, fine
 
@@ -453,6 +514,7 @@ def build_setup(
     validate: bool = False,
     density=None,
     reuse_from: ProjectionSetup | None = None,
+    mesh=None,
 ) -> ProjectionSetup:
     """Steps 1-4: labels, valid faces, MG domain + weights, expansion.
 
@@ -462,6 +524,18 @@ def build_setup(
     multigrid domain is the aligned bounding box of the liquid plus a
     narrow Dirichlet band -- the same linear system as the reference's
     full-grid power-of-two expansion at a fraction of the cell count.
+
+    `mesh` (a jax.sharding.Mesh) runs the whole setup SPMD over the mesh:
+    the base fields are block-partitioned first, the expansion slice is
+    static (the window origin becomes `window_start_static`), every
+    hierarchy level stays sharding-constrained, and the finished setup is
+    placed per parallel.sharding.shard_setup.  No device ever materializes
+    a full fine-level grid -- the configuration one chip cannot even
+    construct (512^3: the fine-level coefficient build alone exhausts one
+    chip's HBM, benchmarks/RESULTS.md round-4) builds on a mesh.  The
+    reference's hierarchy constructor is single-address-space
+    (Source/HDK_GeometricMultigridPoissonSolver.cpp:238-412); multi-chip
+    construction is this build's own scale axis (SURVEY.md section 2.10).
     """
     # Default resolved at CALL time (not import time), so late
     # jax_enable_x64 changes are honored by the default config.
@@ -474,6 +548,15 @@ def build_setup(
     cut_cell_weights = tuple(jnp.asarray(w, dtype=sd) for w in cut_cell_weights)
     if solid_phi is not None:
         solid_phi = jnp.asarray(solid_phi, dtype=sd)
+    if mesh is not None:
+        from geometricmultigridpressuresolver_tpu.parallel import sharding
+
+        liquid_phi = sharding.shard_grid(liquid_phi, mesh)
+        cut_cell_weights = tuple(
+            sharding.shard_grid(w, mesh) for w in cut_cell_weights
+        )
+        if solid_phi is not None:
+            solid_phi = sharding.shard_grid(solid_phi, mesh)
 
     setup_base, expand_window = _jitted()
     # want_derived=False: valid/grad_scale are per-frame recomputes inside
@@ -567,6 +650,12 @@ def build_setup(
         )
     ]
     window_start = jnp.asarray(start_host, dtype=jnp.int32)
+    # Sharded setups slice the window STATICALLY (see _window_static); the
+    # single-device path keeps the traced origin for sticky-window program
+    # reuse across moving-liquid frames.
+    static_start = (
+        tuple(int(s) for s in start_host) if mesh is not None else None
+    )
 
     # Expansion + hierarchy + fine CG operator: ONE device program (plus
     # the coarse direct solve's densify program inside _finish_hierarchy).
@@ -576,22 +665,24 @@ def build_setup(
     target_levels = mg_levels
     if config.max_mg_levels is not None:
         target_levels = min(target_levels, config.max_mg_levels)
-    if config.setup_fusion_resolved(expanded_shape) != "per-level":
+    n_dev = 1 if mesh is None else mesh.size
+    if config.setup_fusion_resolved(expanded_shape, n_dev) != "per-level":
         labels, exp_weights, levels, flags, label_levels, fine = (
             _expand_build_device(
                 window_labels, mg_weights, window_start, base_pads,
                 tuple(expanded_shape), target_levels, config.boundary_width,
                 mg_dtype, config.mg_ew_dtype, fine_dtype, fine_full,
+                static_start, mesh,
             )
         )
     else:
         labels, exp_weights = expand_window(
             window_labels, mg_weights, window_start, base_pads,
-            tuple(expanded_shape),
+            tuple(expanded_shape), static_start, mesh,
         )
         levels, flags, label_levels, fine = mg_mod.device_hierarchy(
             labels, tuple(exp_weights), target_levels, config,
-            fine_dtype, fine_full,
+            fine_dtype, fine_full, mesh=mesh,
         )
 
     if validate:
@@ -605,7 +696,7 @@ def build_setup(
         host_fw=tuple(exp_weights),
     )
     problem = mgpcg._finish_problem(hier, fine, fine_full)
-    return ProjectionSetup(
+    setup = ProjectionSetup(
         problem=problem,
         material=material,
         weights=cut_cell_weights,
@@ -615,22 +706,45 @@ def build_setup(
         base_pads=base_pads,
         padding=padding,
         mg_levels=mg_levels,
+        window_start_static=static_start,
     )
+    if mesh is not None:
+        from geometricmultigridpressuresolver_tpu.parallel import sharding
+
+        # Canonical placement: replicates the tiny coarse direct-solve
+        # arrays and the scalar window origin; the per-level and base grids
+        # already match their canonical specs, so those puts are no-ops.
+        setup = sharding.shard_setup(setup, mesh)
+    return setup
 
 
-def embed_window(base, window_start, base_pads, expanded_shape) -> jax.Array:
+def embed_window(base, window_start, base_pads, expanded_shape,
+                 static_start=None) -> jax.Array:
     """Window a base-grid cell field into the expanded multigrid domain.
 
     `window_start` is traced; `base_pads`/`expanded_shape` must be static
     Python tuples (pass them explicitly under jit -- ProjectionSetup's
-    static fields are pytree leaves and would be traced)."""
+    static fields are pytree leaves and would be traced).  With
+    `static_start` (sharded setups) the slice is fully static and
+    partitions over a mesh without resharding."""
+    if static_start is not None:
+        return _window_static(base, static_start, base_pads, expanded_shape, 0)
     padded = jnp.pad(base, base_pads)
     idx = tuple(window_start[a] for a in range(3))
     return jax.lax.dynamic_slice(padded, idx, expanded_shape)
 
 
-def extract_window(expanded, window_start, base_pads, base_shape) -> jax.Array:
+def extract_window(expanded, window_start, base_pads, base_shape,
+                   static_start=None) -> jax.Array:
     """Scatter an expanded-domain field back onto the base grid."""
+    if static_start is not None:
+        # base[i] = expanded[i + pad_lo - start] (0 outside the window): the
+        # inverse of the static embed is itself a static window slice.
+        inv_start = tuple(
+            plo - s for (plo, _), s in zip(base_pads, static_start)
+        )
+        zero_pads = ((0, 0), (0, 0), (0, 0))
+        return _window_static(expanded, inv_start, zero_pads, base_shape, 0)
     padded_shape = tuple(
         b + plo + phi for b, (plo, phi) in zip(base_shape, base_pads)
     )
@@ -644,14 +758,16 @@ def extract_window(expanded, window_start, base_pads, base_shape) -> jax.Array:
 def _embed(base: jax.Array, setup: "ProjectionSetup") -> jax.Array:
     """Eager-context convenience wrapper over `embed_window`."""
     return embed_window(
-        base, setup.window_start, setup.base_pads, setup.expanded_shape
+        base, setup.window_start, setup.base_pads, setup.expanded_shape,
+        static_start=setup.window_start_static,
     )
 
 
 def _extract(expanded: jax.Array, setup: "ProjectionSetup") -> jax.Array:
     """Eager-context convenience wrapper over `extract_window`."""
     return extract_window(
-        expanded, setup.window_start, setup.base_pads, setup.material.shape
+        expanded, setup.window_start, setup.base_pads, setup.material.shape,
+        static_start=setup.window_start_static,
     )
 
 
@@ -750,6 +866,7 @@ def _project_impl_fn(
     base_pads,
     expanded_shape,
     mesh=None,
+    static_start=None,
 ):
     """The whole per-frame computation as ONE program: RHS, warm start,
     MGPCG solve, writeback, audit.  (Eager per-op dispatch costs ~30 ms
@@ -771,18 +888,21 @@ def _project_impl_fn(
     rhs_base = negative_divergence(
         liquid_mask, velocity, setup.weights, solid_velocity
     )
-    rhs = embed_window(rhs_base, setup.window_start, base_pads, expanded_shape)
+    rhs = embed_window(rhs_base, setup.window_start, base_pads, expanded_shape,
+                       static_start=static_start)
 
     x0 = None
     if config.use_old_pressure and has_x0:
         warm = jnp.where(liquid_mask, old_pressure.astype(sd), 0.0)
-        x0 = embed_window(warm, setup.window_start, base_pads, expanded_shape)
+        x0 = embed_window(warm, setup.window_start, base_pads, expanded_shape,
+                          static_start=static_start)
 
     cg_result = mgpcg._solve(setup.problem, rhs, x0 if x0 is not None else rhs,
                              config, x0 is not None, mesh)
 
     pressure = extract_window(
-        cg_result.x, setup.window_start, base_pads, rhs_base.shape
+        cg_result.x, setup.window_start, base_pads, rhs_base.shape,
+        static_start=static_start,
     )
     pressure = jnp.where(liquid_mask, pressure, jnp.zeros_like(pressure))
 
@@ -809,7 +929,8 @@ def _project_impl_fn(
 
 
 _PROJECT_STATICS = (
-    "config", "has_solid_vel", "has_x0", "base_pads", "expanded_shape", "mesh"
+    "config", "has_solid_vel", "has_x0", "base_pads", "expanded_shape", "mesh",
+    "static_start",
 )
 _project_impl = functools.partial(
     jax.jit, static_argnames=_PROJECT_STATICS
@@ -871,4 +992,5 @@ def project(
     return impl(
         setup, velocity, solid_velocity, old_pressure, config,
         has_solid_vel, has_x0, setup.base_pads, setup.expanded_shape, mesh,
+        setup.window_start_static,
     )

@@ -175,11 +175,21 @@ def eligible(shape, level: int, num_levels: int, block_t: int = 8) -> bool:
     return True
 
 
-def _vmem_estimate(sx: int, sy: int, nz: int, ew_itemsize: int) -> int:
-    """Scratch (2 slots x {3 fp32 + 3 ew + int8} slabs) plus headroom for
-    Mosaic's compute temporaries."""
+def _vmem_estimate(
+    sx: int, sy: int, nz: int, ew_itemsize: int, f_itemsize: int = 4
+) -> int:
+    """Scratch (2 slots x {3 field + 3 ew + int8} slabs) plus headroom for
+    Mosaic's compute temporaries (always fp32, even when the field STORAGE
+    is bfloat16 -- see _make_kernel's compute_dtype).
+
+    Tiling choices (plan_tiles / eligible) always call this with the fp32
+    default f_itemsize=4 so a level's slab geometry is one function of its
+    shape -- independent of config.mg_field_dtype -- and block-occupancy
+    lists stay valid across field-dtype A/Bs; only the vmem LIMIT handed to
+    Mosaic uses the actual itemsize.
+    """
     slab = sx * sy * nz
-    per_cell = 3 * 4 + 3 * ew_itemsize + 1
+    per_cell = 3 * f_itemsize + 3 * ew_itemsize + 1
     return 2 * per_cell * slab + 8 * 4 * slab + (4 << 20)
 
 
@@ -292,7 +302,7 @@ def _neighbor_shift(x, axis: int, up: bool):
 
 def _make_kernel(schedule: tuple[str, ...], damping: float, t: int, y: int,
                  emit_dot: bool, emit_residual: bool = False,
-                 zero_x: bool = False):
+                 zero_x: bool = False, compute_dtype=None):
     """Kernel factory; all geometry is static.
 
     1-D grid with two slab slots: while active block k is computed, block
@@ -402,16 +412,21 @@ def _make_kernel(schedule: tuple[str, ...], damping: float, t: int, y: int,
             for cp in in_copies(idx, cur):
                 cp.wait()
 
+            # Fields may be STORED narrower than they are computed
+            # (config.mg_field_dtype=bfloat16 halves the x/b/inv_diag DMA
+            # traffic); the upcasts below happen on VMEM-resident slabs --
+            # registers, not HBM.
+            cdt_np = jnp.dtype(compute_dtype or bs.dtype)
             if zero_x:
-                x = jnp.zeros((sx, sy) + bs.shape[3:], dtype=bs.dtype)
+                x = jnp.zeros((sx, sy) + bs.shape[3:], dtype=cdt_np)
             else:
-                x = xs[cur]
-            b = bs[cur]
-            invd = ids[cur]
+                x = xs[cur].astype(cdt_np)
+            b = bs[cur].astype(cdt_np)
+            invd = ids[cur].astype(cdt_np)
             e0, e1, e2 = e0s[cur], e1s[cur], e2s[cur]
             # int8 vector compares are unsupported on TPU; blend
             # arithmetically.
-            band_f = bands[cur].astype(b.dtype)
+            band_f = bands[cur].astype(cdt_np)
 
             # Checkerboard parity: global parity == local parity because
             # the slab origin (ox, oy, 0) has even coordinate sum (t, y
@@ -473,9 +488,9 @@ def _make_kernel(schedule: tuple[str, ...], damping: float, t: int, y: int,
                 # non-solvable cells stay masked to r = 0 via b = 0, x = 0).
                 diag = jnp.where(invd != 0, dt(1.0) / invd, dt(0.0))
                 r = b + neighbor_sum(x) - diag * x
-                bs[cur] = r
+                bs[cur] = r.astype(bs.dtype)
 
-            xs[cur] = x
+            xs[cur] = x.astype(xs.dtype)
             for cp in out_copies(idx, cur):
                 cp.start()
 
@@ -553,7 +568,14 @@ def fused_smooth(
     nx, ny, nz = x.shape
     rx, ry = nx - 2 * H, ny - 2 * H
     fdt = x.dtype
+    assert b.dtype == fdt and inv_diag.dtype == fdt, (
+        "x/b/inv_diag must share one storage dtype", x.dtype, b.dtype,
+        inv_diag.dtype,
+    )
     edt = ew0.dtype  # possibly narrower (config.mg_ew_dtype)
+    # Narrow STORAGE (config.mg_field_dtype=bfloat16) still computes in
+    # fp32: the upcast happens on VMEM slabs after the (halved) DMA.
+    cdt = jnp.float32 if fdt == jnp.bfloat16 else None
     tb, yb = plan_tiles(x.shape, edt.itemsize, block_t, block_y)
     gx, gy = rx // tb, ry // yb
     nb = gx * gy
@@ -570,11 +592,11 @@ def fused_smooth(
     na = jnp.asarray(na, jnp.int32).reshape(1)
 
     kernel = _make_kernel(schedule, damping, tb, yb, emit_dot, emit_residual,
-                          zero_x)
+                          zero_x, compute_dtype=cdt)
     slab = lambda dt: pltpu.VMEM((2, sx, sy, nz), dt)  # noqa: E731
 
     zin = jnp.zeros_like(x)
-    vmem_bytes = _vmem_estimate(sx, sy, nz, edt.itemsize)
+    vmem_bytes = _vmem_estimate(sx, sy, nz, edt.itemsize, fdt.itemsize)
 
     out_shape = [jax.ShapeDtypeStruct(x.shape, fdt)]
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
@@ -656,6 +678,13 @@ def smooth_level_pallas(
     """
     schedule = schedule_for(config, forward)
     band_i8 = coeffs.band.astype(jnp.int8)
+    # Narrow-field mode (config.mg_field_dtype): x/b arrive in the field
+    # dtype; stream inv_diag at the same width.  The astype is
+    # solve-invariant, so XLA's LICM hoists it out of the CG loop -- one
+    # conversion per solve, halved DMA every smoother call.
+    inv_diag = coeffs.inv_diag
+    if inv_diag.dtype != x.dtype:
+        inv_diag = inv_diag.astype(x.dtype)
     if blocks is None:
         blocks = level_blocks(coeffs, config)
     starts = list(range(0, len(schedule), H))
@@ -664,7 +693,7 @@ def smooth_level_pallas(
         chunk = schedule[start : start + H]
         first, last = start == 0, start == starts[-1]
         out = fused_smooth(
-            x, b, coeffs.inv_diag, coeffs.ew0, coeffs.ew1, coeffs.ew2,
+            x, b, inv_diag, coeffs.ew0, coeffs.ew1, coeffs.ew2,
             band_i8, chunk, config.jacobi_damping,
             block_t=config.pallas_block_t, block_y=config.pallas_block_y,
             interpret=interpret, emit_dot=emit_dot and last,

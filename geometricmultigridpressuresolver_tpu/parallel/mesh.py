@@ -44,6 +44,28 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(dev_array, AXIS_NAMES)
 
 
+def constrain_grid(arr, mesh: Mesh | None, min_per_device: int = 8):
+    """Pin a traced grid to its canonical mesh partitioning (no-op without a
+    mesh).
+
+    Used inside the jitted SETUP programs (hierarchy build, window
+    expansion) when they run on a mesh: GSPMD generally propagates the
+    input shardings through the elementwise/shift ops, but the constraint
+    makes the memory behavior deterministic -- no intermediate of the 512^3
+    build may ever materialize replicated, or the build OOMs exactly the
+    way the single-device one does (benchmarks/RESULTS.md round-4: the
+    512^3 fine-level coefficient build alone exhausts one chip).
+    """
+    if mesh is None:
+        return arr
+    return jax.lax.with_sharding_constraint(
+        arr,
+        jax.sharding.NamedSharding(
+            mesh, grid_pspec(mesh, arr.shape, min_per_device)
+        ),
+    )
+
+
 def grid_pspec(mesh: Mesh, shape=None, min_per_device: int = 8) -> PartitionSpec:
     """PartitionSpec for a cell grid: shard each spatial axis over its mesh
     axis, but replicate axes that would drop below `min_per_device` cells

@@ -80,4 +80,5 @@ def shard_setup(
         base_pads=setup.base_pads,
         padding=setup.padding,
         mg_levels=setup.mg_levels,
+        window_start_static=setup.window_start_static,
     )

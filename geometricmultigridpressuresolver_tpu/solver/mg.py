@@ -67,7 +67,8 @@ class MGHierarchy(NamedTuple):
         return len(self.levels)
 
 
-def _level_coeffs_traced(labels, face_weights, boundary_width: int, dtype, ew_dtype):
+def _level_coeffs_traced(labels, face_weights, boundary_width: int, dtype, ew_dtype,
+                         mesh=None):
     """One level's LevelCoeffs (pure traced helper; no jit boundary).
 
     `ew_dtype` optionally narrows the storage of the off-diagonal edge
@@ -76,12 +77,15 @@ def _level_coeffs_traced(labels, face_weights, boundary_width: int, dtype, ew_dt
     V-cycle remains a valid CG preconditioner.  diag/inv_diag stay in
     `dtype` (an exact reciprocal pair, which the smoother identity
     inv_diag * diag = 1 relies on).
+
+    With `mesh`, every output grid is sharding-constrained to its canonical
+    mesh partitioning (sharded setup path; see parallel.mesh.constrain_grid).
     """
     c = domain_ops.build_level_coefficients(labels, face_weights, boundary_width, dtype)
     ew = c["ew"]
     if ew_dtype is not None:
         ew = [w.astype(ew_dtype) for w in ew]
-    return stencil.LevelCoeffs(
+    coeffs = stencil.LevelCoeffs(
         solvable=c["solvable"],
         # int8 storage: the fused kernels stream the band directly (no
         # per-solve astype copy); the jnp path casts back to bool for free.
@@ -92,6 +96,11 @@ def _level_coeffs_traced(labels, face_weights, boundary_width: int, dtype, ew_dt
         ew1=ew[1],
         ew2=ew[2],
     )
+    if mesh is not None:
+        from geometricmultigridpressuresolver_tpu.parallel.mesh import constrain_grid
+
+        coeffs = stencil.LevelCoeffs(*(constrain_grid(a, mesh) for a in coeffs))
+    return coeffs
 
 
 def _build_levels_traced(
@@ -103,6 +112,7 @@ def _build_levels_traced(
     ew_dtype=None,
     fine_dtype=None,
     fine_full: bool = False,
+    mesh=None,
 ):
     """EVERY level's coefficients + capping flags as ONE traced computation.
 
@@ -124,6 +134,11 @@ def _build_levels_traced(
     Returns (levels, flags, label_levels, fine) -- all pytrees of device
     arrays when called under jit.
     """
+    if mesh is not None:
+        from geometricmultigridpressuresolver_tpu.parallel.mesh import constrain_grid
+    else:
+        constrain_grid = lambda a, _m: a  # noqa: E731
+
     cur = labels
     label_levels = [cur]
     levels = []
@@ -134,18 +149,22 @@ def _build_levels_traced(
         # coarsest level; never coarsen past an odd extent (or the cap).
         can_coarsen = i + 1 < target_levels and all(s % 2 == 0 for s in cur.shape)
         levels.append(
-            _level_coeffs_traced(cur, fw_i, boundary_width, dtype, ew_dtype)
+            _level_coeffs_traced(cur, fw_i, boundary_width, dtype, ew_dtype, mesh)
         )
         if not can_coarsen:
             break
-        coarse = domain_ops.coarsen_labels(cur, lane_align=True)
+        coarse = constrain_grid(
+            domain_ops.coarsen_labels(cur, lane_align=True), mesh
+        )
         flags.append(domain_ops.is_solvable(coarse).any())
         cur = coarse
         label_levels.append(cur)
 
     fine = None
     if fine_dtype is not None:
-        fc = _level_coeffs_traced(labels, face_weights, boundary_width, fine_dtype, None)
+        fc = _level_coeffs_traced(
+            labels, face_weights, boundary_width, fine_dtype, None, mesh
+        )
         fine = fc if fine_full else (fc.ew0, fc.ew1, fc.ew2)
     return tuple(levels), tuple(flags), tuple(label_levels), fine
 
@@ -154,7 +173,7 @@ def _build_levels_traced(
     jax.jit,
     static_argnames=(
         "target_levels", "boundary_width", "dtype", "ew_dtype", "fine_dtype",
-        "fine_full",
+        "fine_full", "mesh",
     ),
 )
 def _device_hierarchy(
@@ -166,44 +185,57 @@ def _device_hierarchy(
     ew_dtype=None,
     fine_dtype=None,
     fine_full: bool = False,
+    mesh=None,
 ):
     """All hierarchy levels in ONE compiled program (see _build_levels_traced)."""
     return _build_levels_traced(
         labels, face_weights, target_levels, boundary_width, dtype, ew_dtype,
-        fine_dtype, fine_full,
+        fine_dtype, fine_full, mesh,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("boundary_width", "dtype", "ew_dtype", "coarsen"),
+    static_argnames=("boundary_width", "dtype", "ew_dtype", "coarsen", "mesh"),
 )
 def _device_level(
     labels, face_weights, boundary_width: int, dtype, ew_dtype=None,
-    coarsen: bool = True,
+    coarsen: bool = True, mesh=None,
 ):
     """One level's coefficients (+ next-coarser labels): the per-level
     program of config.setup_fusion="per-level"."""
-    coeffs = _level_coeffs_traced(labels, face_weights, boundary_width, dtype, ew_dtype)
+    coeffs = _level_coeffs_traced(
+        labels, face_weights, boundary_width, dtype, ew_dtype, mesh
+    )
     if not coarsen:
         return coeffs
     coarse = domain_ops.coarsen_labels(labels, lane_align=True)
+    if mesh is not None:
+        from geometricmultigridpressuresolver_tpu.parallel.mesh import constrain_grid
+
+        coarse = constrain_grid(coarse, mesh)
     return coeffs, coarse, domain_ops.is_solvable(coarse).any()
 
 
 def device_hierarchy(labels, face_weights, target_levels: int, config,
-                     fine_dtype=None, fine_full: bool = False):
+                     fine_dtype=None, fine_full: bool = False, mesh=None):
     """Build the level stack on device at the configured program granularity.
 
     Same (levels, flags, label_levels, fine) contract as _device_hierarchy;
     "per-level" runs one program per level (the round-2 structure) for
     environments whose compile path cannot ingest the fused program.
+
+    With `mesh`, the build runs SPMD over the mesh: inputs should already be
+    block-partitioned (parallel.sharding.shard_grid) and every level's
+    arrays stay sharding-constrained to their canonical partitioning, so no
+    device ever materializes a full fine-level grid.
     """
     dtype = config.mg_dtype_resolved
-    if config.setup_fusion_resolved(labels.shape) != "per-level":
+    n_dev = 1 if mesh is None else mesh.size
+    if config.setup_fusion_resolved(labels.shape, n_dev) != "per-level":
         return _device_hierarchy(
             labels, face_weights, target_levels, config.boundary_width,
-            dtype, config.mg_ew_dtype, fine_dtype, fine_full,
+            dtype, config.mg_ew_dtype, fine_dtype, fine_full, mesh,
         )
     cur = labels
     label_levels = [cur]
@@ -215,12 +247,13 @@ def device_hierarchy(labels, face_weights, target_levels: int, config,
             levels.append(
                 _device_level(
                     cur, fw_i, config.boundary_width, dtype,
-                    config.mg_ew_dtype, coarsen=False,
+                    config.mg_ew_dtype, coarsen=False, mesh=mesh,
                 )
             )
             break
         coeffs, coarse, has_dofs = _device_level(
-            cur, fw_i, config.boundary_width, dtype, config.mg_ew_dtype
+            cur, fw_i, config.boundary_width, dtype, config.mg_ew_dtype,
+            mesh=mesh,
         )
         levels.append(coeffs)
         flags.append(has_dofs)
@@ -230,7 +263,7 @@ def device_hierarchy(labels, face_weights, target_levels: int, config,
     if fine_dtype is not None:
         fc = _device_level(
             labels, face_weights, config.boundary_width, fine_dtype,
-            coarsen=False,
+            coarsen=False, mesh=mesh,
         )
         fine = fc if fine_full else (fc.ew0, fc.ew1, fc.ew2)
     return tuple(levels), tuple(flags), tuple(label_levels), fine
@@ -266,6 +299,7 @@ def build_hierarchy(
     mg_levels: int,
     config: SolverConfig | None = None,
     validate: bool = False,
+    mesh=None,
 ) -> MGHierarchy:
     """Hierarchy construction from expanded+relabeled finest labels.
 
@@ -274,6 +308,9 @@ def build_hierarchy(
     `face_weights` exist only at the finest level.  All per-level array work
     runs on the device under jit; only the (tiny) coarsest-level direct
     solver is assembled on the host.
+
+    With `mesh`, the build runs SPMD: inputs are block-partitioned over the
+    mesh first and every level's arrays stay sharded (see device_hierarchy).
     """
     # Default resolved at CALL time (not import time), so late
     # jax_enable_x64 changes are honored by the default config.
@@ -291,13 +328,20 @@ def build_hierarchy(
         if face_weights is None
         else tuple(jnp.asarray(w, dtype=dtype) for w in face_weights)
     )
+    if mesh is not None:
+        from geometricmultigridpressuresolver_tpu.parallel import sharding
+
+        cur = sharding.shard_grid(cur, mesh)
+        fw = None if fw is None else tuple(
+            sharding.shard_grid(w, mesh) for w in fw
+        )
 
     # Build every level on device (ONE program when setup_fusion="auto"
     # resolves to "fused" -- windows up to SETUP_FUSION_AUTO_CELLS -- see
     # _build_levels_traced; one program per level above it), then finish
     # on host.
     levels, flags, label_levels, _ = device_hierarchy(
-        cur, fw, target_levels, config
+        cur, fw, target_levels, config, mesh=mesh
     )
     return _finish_hierarchy(
         levels, flags, label_levels, config, validate=validate, host_fw=fw
@@ -686,9 +730,28 @@ def v_cycle(
         config = SolverConfig()
     nlev = hier.num_levels
     dtype = hier.levels[0].diag.dtype
-    x = x.astype(dtype)
-    b = b.astype(dtype)
     pallas_ok = _pallas_level_flags(hier, config, mesh)
+    # Narrow field storage (config.mg_field_dtype, e.g. bfloat16): levels
+    # on the single-device fused kernels carry their x/rhs/residual at the
+    # narrow width -- the kernels upcast on VMEM slabs and compute fp32 --
+    # while jnp/sharded levels keep the mg dtype.  Gated on the fused
+    # smooth->residual downstroke (the default schedule): the off-default
+    # separate-residual path would pay fp32<->bf16 round trips instead of
+    # saving DMA.
+    fdt_knob = config.mg_field_dtype
+    if fdt_knob is not None:
+        from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
+
+        if not pallas_smoother.residual_fusable(config, forward=True):
+            fdt_knob = None
+    vec_dt = tuple(
+        jnp.dtype(fdt_knob)
+        if fdt_knob is not None and pallas_ok[lv] in (True, "padded")
+        else jnp.dtype(dtype)
+        for lv in range(nlev)
+    )
+    x = x.astype(vec_dt[0])
+    b = b.astype(vec_dt[0])
     if block_lists is None:
         block_lists = hierarchy_block_lists(hier, config, mesh)
     if _use_mm_transfers(config):
@@ -699,20 +762,29 @@ def v_cycle(
     if not use_initial_guess:
         x = jnp.zeros_like(x)
 
+    def _finish(out):
+        # Hand the caller the hierarchy dtype regardless of the internal
+        # field storage (the CG consumer contracts on mg dtype).
+        if vec_dt[0] == jnp.dtype(dtype):
+            return out
+        if emit_fine_dot:
+            return out[0].astype(dtype), out[1]
+        return out.astype(dtype)
+
     if nlev == 1:
         # Single-level cycle is smoothing-only (reference cpp:516-517).
-        return _smooth_level(
+        return _finish(_smooth_level(
             x, b, hier.levels[0], config, forward=True,
             use_pallas=pallas_ok[0], emit_dot=emit_fine_dot, mesh=mesh,
             blocks=block_lists[0], x_is_zero=not use_initial_guess,
-        )
+        ))
 
     # Downstroke.
     rhs = [b] + [None] * (nlev - 1)
     sols: list[jax.Array | None] = [None] * nlev
     for level in range(nlev - 1):
         c = hier.levels[level]
-        xl = x if level == 0 else jnp.zeros(c.shape, dtype=dtype)
+        xl = x if level == 0 else jnp.zeros(c.shape, dtype=vec_dt[level])
         # The downstroke always enters with x == 0 (level 0 unless warm,
         # coarser levels by construction): the fused kernel then skips
         # streaming x AND can emit the level residual from the same slab
@@ -740,8 +812,11 @@ def v_cycle(
             if pallas_ok[level] is True:
                 from geometricmultigridpressuresolver_tpu.ops import pallas_cg
 
+                # astype: no-op except the warm-start-with-narrow-fields
+                # edge, where the residual kernel needs the mg dtype.
                 r = pallas_cg.fused_residual(
-                    xl, rhs[level], c.diag, c.ew0, c.ew1, c.ew2,
+                    xl.astype(dtype), rhs[level].astype(dtype),
+                    c.diag, c.ew0, c.ew1, c.ew2,
                     block_t=config.pallas_block_t,
                     block_y=config.pallas_block_y,
                     blocks=block_lists[level],
@@ -751,15 +826,23 @@ def v_cycle(
             else:
                 r = stencil.residual(xl, rhs[level], c)
         sols[level] = xl
-        rhs[level + 1] = restrict(r, hier.levels[level + 1].solvable)
+        rhs[level + 1] = restrict(
+            r, hier.levels[level + 1].solvable
+        ).astype(vec_dt[level + 1])
 
-    # Coarsest level direct solve.
-    sols[nlev - 1] = coarse_solve(hier, rhs[nlev - 1])
+    # Coarsest level direct solve (always in the mg dtype; the level is
+    # tiny, so the narrow-field casts around it are noise).
+    sols[nlev - 1] = coarse_solve(
+        hier, rhs[nlev - 1].astype(dtype)
+    ).astype(vec_dt[nlev - 1])
 
     # Upstroke with adjoint smoother ordering.
     for level in range(nlev - 2, -1, -1):
         c = hier.levels[level]
-        xl = prolong_add(sols[level], sols[level + 1], c.solvable)
+        coarse = sols[level + 1]
+        if coarse.dtype != vec_dt[level]:
+            coarse = coarse.astype(vec_dt[level])
+        xl = prolong_add(sols[level], coarse, c.solvable)
         xl = _smooth_level(
             xl, rhs[level], c, config, forward=False,
             use_pallas=pallas_ok[level],
@@ -768,8 +851,7 @@ def v_cycle(
         )
         sols[level] = xl
 
-    if emit_fine_dot:
-        # sols[0] is (x, <x, b>): the preconditioner output and the CG
-        # rho = <r, z> (b IS the CG residual when used as preconditioner).
-        return sols[0]
-    return sols[0]
+    # sols[0] is (x, <x, b>) with emit_fine_dot: the preconditioner output
+    # and the CG rho = <r, z> (b IS the CG residual when used as
+    # preconditioner).
+    return _finish(sols[0])

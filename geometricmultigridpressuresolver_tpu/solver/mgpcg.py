@@ -54,6 +54,7 @@ def build_problem(
     mg_levels: int,
     config: SolverConfig | None = None,
     validate: bool = False,
+    mesh=None,
 ) -> PoissonProblem:
     """Host-side setup from expanded+relabeled labels (+ finest weights).
 
@@ -62,6 +63,14 @@ def build_problem(
     a remote-compile tunnel every distinct program pays seconds of
     load/dispatch overhead even when fully warm, so setup cost is dominated
     by program COUNT, not FLOPs (BENCH_r02 post-mortem: 279 s warm setup).
+
+    With `mesh`, the whole build runs SPMD over the mesh: inputs are
+    block-partitioned first, every level's arrays stay sharded, and the
+    finished problem is placed per parallel.sharding.shard_problem -- no
+    device ever holds a full fine-level grid (the reference's equivalent
+    hierarchy constructor is single-address-space,
+    Source/HDK_GeometricMultigridPoissonSolver.cpp:238-412; multi-chip
+    construction is this build's own scale axis, SURVEY.md section 2.10).
     """
     # Default resolved at CALL time (not import time), so late
     # jax_enable_x64 changes are honored by the default config.
@@ -82,13 +91,27 @@ def build_problem(
         if face_weights is None
         else tuple(jnp.asarray(w, dtype=sd) for w in face_weights)
     )
+    if mesh is not None:
+        from geometricmultigridpressuresolver_tpu.parallel import sharding
+
+        lab = sharding.shard_grid(lab, mesh)
+        fw = None if fw is None else tuple(
+            sharding.shard_grid(w, mesh) for w in fw
+        )
     levels, flags, label_levels, fine = mg_mod.device_hierarchy(
-        lab, fw, target_levels, config, fine_dtype, fine_full
+        lab, fw, target_levels, config, fine_dtype, fine_full, mesh=mesh
     )
     hier = mg_mod._finish_hierarchy(
         levels, flags, label_levels, config, validate=validate, host_fw=fw
     )
-    return _finish_problem(hier, fine, fine_full)
+    problem = _finish_problem(hier, fine, fine_full)
+    if mesh is not None:
+        from geometricmultigridpressuresolver_tpu.parallel import sharding
+
+        # Canonical placement (replicates the tiny coarse direct-solve
+        # arrays; per-level grids already match, so those puts are no-ops).
+        problem = sharding.shard_problem(problem, mesh)
+    return problem
 
 
 def _finish_problem(

@@ -463,3 +463,51 @@ def test_padded_flags_and_vcycle(fixture32):
     scale = float(jnp.max(jnp.abs(ref))) or 1.0
     diff = float(jnp.max(jnp.abs(got - ref))) / scale
     assert diff < 2e-5, diff
+
+
+def test_bf16_field_storage_close_to_fp32(fixture32):
+    """config.mg_field_dtype: bf16-stored x/b stream at half width while the
+    kernel computes fp32 on the VMEM slabs -- output equals the fp32 kernel
+    to bf16 rounding (the 8-pass block amplifies the per-pass quantization
+    by only a small factor)."""
+    hier, c, x, b = fixture32
+    config = SolverConfig(solve_dtype=jnp.float32)
+    ref = pallas_smoother.smooth_level_pallas(
+        x, b, c, config, forward=True, interpret=True
+    )
+    got = pallas_smoother.smooth_level_pallas(
+        x.astype(jnp.bfloat16), b.astype(jnp.bfloat16), c, config,
+        forward=True, interpret=True,
+    )
+    assert got.dtype == jnp.bfloat16  # storage stays narrow between passes
+    scale = float(jnp.max(jnp.abs(ref)))
+    diff = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref))) / scale
+    assert diff < 0.03, diff
+    # The zero-outside-solvable invariant survives the narrow storage.
+    out = np.asarray(got.astype(jnp.float32))
+    assert (out[~np.asarray(c.solvable)] == 0).all()
+
+
+def test_bf16_vcycle_output_contract_and_accuracy(fixture32):
+    """A V-cycle with mg_field_dtype=bfloat16 returns the mg dtype (the CG
+    consumer contract) and stays within bf16 rounding of the jnp cycle;
+    the downstroke fused smooth->residual and the upstroke dot fusion all
+    ride the narrow storage."""
+    hier, c, x, b = fixture32
+    cfg_ref = SolverConfig(solve_dtype=jnp.float32, kernel_mode="jnp")
+    cfg_bf16 = SolverConfig(
+        solve_dtype=jnp.float32, kernel_mode="pallas", pallas_interpret=True,
+        mg_field_dtype=jnp.bfloat16,
+    )
+    ref = mg_mod.v_cycle(hier, jnp.zeros_like(b), b, cfg_ref)
+    got, rho = mg_mod.v_cycle(
+        hier, jnp.zeros_like(b), b, cfg_bf16, emit_fine_dot=True
+    )
+    assert got.dtype == jnp.float32
+    scale = float(jnp.max(jnp.abs(ref)))
+    diff = float(jnp.max(jnp.abs(got - ref))) / scale
+    assert diff < 0.05, diff
+    from geometricmultigridpressuresolver_tpu.ops import blas
+
+    rho_ref = float(blas.dot(ref, b, c.solvable))
+    np.testing.assert_allclose(float(rho), rho_ref, rtol=0.05)
