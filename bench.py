@@ -110,6 +110,10 @@ def main() -> None:
         # HDK_GeometricMultigridPoissonSolver.cpp:141-142).  A/B knob for
         # wall-clock at equal convergence -- schedule is config, not law.
         boundary_iterations=int(os.environ.get("BENCH_BOUNDARY_ITERS", "3")),
+        # Depth cap (reference exposes the same knob); the A/B regime for
+        # the padded kernel views: a capped hierarchy's coarsest retained
+        # levels are big with thin exterior padding.
+        max_mg_levels=int(os.environ.get("BENCH_MAX_LEVELS", "0")) or None,
         # Kernel slab-tiling overrides for perf sweeps (0 = config default).
         **{
             k: v
@@ -121,6 +125,13 @@ def main() -> None:
         },
     )
 
+    # BASELINE.md row 2 scene variant: an interior solid sphere with
+    # supersampled Neumann cut-cell faces (reference solid-sphere fixture,
+    # Source/HDK_TestGeometricMultigrid.cpp:266-343), submerged in the pool
+    # so the cut cells sit inside the liquid.  `BENCH_SOLID_SPHERE=1
+    # BENCH_N=128 BENCH_TOL=1e-6` reproduces the declared row-2 config.
+    solid_sphere = os.environ.get("BENCH_SOLID_SPHERE", "0") == "1"
+
     # Scene construction as ONE device program: every distinct program
     # (eager ops included) pays seconds of dispatch/load overhead through
     # the remote-compile tunnel, so setup cost is program-count-bound.
@@ -129,11 +140,21 @@ def main() -> None:
     @jax.jit
     def _scene():
         liquid_phi, velocity = sdf.splash_scene((n, n, n), xp=jnp)
-        weights = sdf.open_box_weights((n, n, n), xp=jnp)
-        velocity = tuple(jnp.asarray(v, dtype=jnp.float32) for v in velocity)
-        return liquid_phi, velocity, weights
+        solid_phi = None
+        if solid_sphere:
+            # solid convention: phi >= 0 INSIDE the solid (models/sdf.py).
+            def solid_fn(pts):
+                return -sdf.sphere_sdf(pts, (0.5, 0.18, 0.5), 0.12, xp=jnp)
 
-    liquid_phi, velocity, weights = jax.block_until_ready(_scene())
+            weights = sdf.face_weights_from_solid(solid_fn, (n, n, n), xp=jnp)
+            points, _ = sdf.cell_centers((n, n, n), xp=jnp)
+            solid_phi = solid_fn(points)
+        else:
+            weights = sdf.open_box_weights((n, n, n), xp=jnp)
+        velocity = tuple(jnp.asarray(v, dtype=jnp.float32) for v in velocity)
+        return liquid_phi, velocity, weights, solid_phi
+
+    liquid_phi, velocity, weights, solid_phi = jax.block_until_ready(_scene())
     t_scene, t0 = time.time() - t0, time.time()
     setup = free_surface.build_setup(liquid_phi, weights, config=config)
     jax.block_until_ready(setup.problem)

@@ -17,7 +17,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/gmg_jax_cache")
+# GMG_CACHE_DIR: point at a throwaway dir to measure the COLD compile path
+# without invalidating the shared warm cache (round-5 cold-setup forensics).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("GMG_CACHE_DIR", "/tmp/gmg_jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import functools

@@ -22,6 +22,7 @@ from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.ndimage import map_coordinates
 
 from geometricmultigridpressuresolver_tpu.config import SolverConfig
@@ -270,6 +271,280 @@ def load_state(directory):
         int(meta["frame"]), fields["liquid_phi"], velocity,
         fields.get("pressure"),
     )
+
+
+def _frame_traced(
+    phi,
+    velocity,
+    pressure,
+    cut_cell_weights,
+    solid_phi,
+    config: SolverConfig,
+    geom,
+    dt: float,
+    gravity: float,
+):
+    """One FULL frame as pure traced computation: advect -> gravity ->
+    label/hierarchy rebuild in a frozen window -> on-device coarsest direct
+    assembly -> warm-started MGPCG projection -> audit.
+
+    No host interaction anywhere, so `lax.scan` can fuse K frames into one
+    compiled program (`run_fused`).  `geom` freezes the data-dependent
+    host decisions of build_setup for the chunk: (base_pads,
+    expanded_shape, static_start, target_levels, nd_pad, padding), all
+    Python constants captured at trace time.
+
+    Returns (new_phi, new_velocity, new_pressure, stats) where stats =
+    (iterations, relative_residual, max_divergence, fits, caps_ok, ndof) --
+    the last three are the safety outputs run_fused checks per chunk: the
+    active region still inside the frozen window, no hierarchy level lost
+    all its DOFs (the host path would CAP there,
+    solver/mg._finish_hierarchy), and the coarse DOF count within the
+    frozen bucket.
+    """
+    from geometricmultigridpressuresolver_tpu.solver import mg as mg_mod
+    from geometricmultigridpressuresolver_tpu.solver import mgpcg
+
+    base_pads, expanded_shape, static_start, target_levels, nd_pad, padding = geom
+    sd = config.solve_dtype
+    dx = 1.0 / max(phi.shape)
+
+    new_phi = advect_scalar(phi, velocity, dt, dx)
+    new_vel = list(advect_velocity(velocity, dt, dx))
+    new_vel[1] = new_vel[1] + sd(gravity * dt)
+    new_vel = tuple(new_vel)
+
+    # Steps 1-4 (labels, weights, window expansion) -- same traced pieces
+    # build_setup runs, with the window decisions frozen by `geom`.
+    material, _, _, mg_labels, trimmed, mg_weights, projections = (
+        free_surface._setup_base_fields(
+            new_phi, cut_cell_weights, solid_phi, config.theta_clamp, sd,
+            config.dirichlet_band, want_compact=config.compact_domain,
+            want_derived=False,
+        )
+    )
+    window_labels = trimmed if config.compact_domain else mg_labels
+    labels, exp_weights = free_surface._expand_window_fields(
+        window_labels, mg_weights, None, base_pads, expanded_shape,
+        static_start=static_start,
+    )
+
+    # Hierarchy + the on-device coarsest direct solve (the one piece the
+    # host path assembles with scipy; mg._coarse_system_traced keeps it
+    # inside the program).
+    mg_dtype, fine_dtype, fine_full = mgpcg.fine_plan(config)
+    levels, flags, _, fine = mg_mod._build_levels_traced(
+        labels, tuple(exp_weights), target_levels, config.boundary_width,
+        mg_dtype, config.mg_ew_dtype, fine_dtype, fine_full,
+    )
+    dofs, minv, ndof_c = mg_mod._coarse_system_traced(levels[-1], nd_pad)
+    hier = mg_mod.MGHierarchy(
+        levels=levels, coarse_dofs=dofs, coarse_minv=minv,
+        coarse_chol=jnp.zeros((0, 0), dtype=minv.dtype),
+    )
+    problem = mgpcg._finish_problem(hier, fine, fine_full)
+
+    setup = free_surface.ProjectionSetup(
+        problem=problem,
+        material=material,
+        weights=tuple(cut_cell_weights),
+        liquid_phi=new_phi,
+        window_start=jnp.asarray(static_start, dtype=jnp.int32),
+        expanded_shape=expanded_shape,
+        base_pads=base_pads,
+        padding=padding,
+        mg_levels=target_levels,
+        window_start_static=static_start,
+    )
+    result = free_surface._project_impl_fn(
+        setup, new_vel, new_vel, pressure, config,
+        has_solid_vel=False, has_x0=config.use_old_pressure,
+        base_pads=base_pads, expanded_shape=expanded_shape,
+        static_start=static_start,
+    )
+
+    # Safety outputs (checked on the host once per CHUNK, not per frame).
+    fits = jnp.bool_(True)
+    if projections is not None:
+        for a in range(3):
+            off = int(static_start[a]) - base_pads[a][0]
+            proj = projections[a]
+            lo_bad = proj[: max(0, off)].any() if off > 0 else jnp.bool_(False)
+            hi0 = min(off + expanded_shape[a], proj.shape[0])
+            hi_bad = proj[max(hi0, 0):].any()
+            fits = fits & ~lo_bad & ~hi_bad
+    caps_ok = jnp.all(jnp.stack(flags)) if flags else jnp.bool_(True)
+    stats = (
+        result.cg.iterations,
+        result.cg.relative_residual,
+        result.max_divergence,
+        fits,
+        caps_ok,
+        ndof_c,
+    )
+    return new_phi, result.velocity, result.pressure, stats
+
+
+def run_fused(
+    liquid_phi,
+    velocity,
+    cut_cell_weights,
+    num_frames: int,
+    dt: float = 1.0 / 120.0,
+    gravity: float = -9.8,
+    solid_phi=None,
+    config: SolverConfig | None = None,
+    chunk: int = 8,
+    old_pressure=None,
+    on_chunk=None,
+):
+    """The flipSplash loop with `chunk` frames per compiled device program.
+
+    `run()` dispatches one program per frame plus host setup glue; over a
+    remote-attach runtime that costs ~2 s/frame at 128^3 against ~0.5 s of
+    device work (benchmarks/RESULTS.md round-4 frame ledger).  This fuses
+    K = `chunk` complete frames -- advection, gravity, label/hierarchy
+    rebuild, ON-DEVICE coarsest direct assembly, warm-started MGPCG,
+    writeback, divergence audit -- into one `lax.scan` program with zero
+    per-frame host interaction: steady-state frame cost becomes device
+    work only.  The reference cooks one frame per Houdini cycle by design;
+    frame batching is TPU-native amortization (SURVEY.md section 7).
+
+    Frame 0's geometry (window, levels, coarse bucket) is built on the
+    host (`build_setup`) and frozen per chunk; each chunk's traced safety
+    stats (window fit, level capping, coarse-bucket overflow) are checked
+    afterwards, and a violated chunk is discarded and re-run through the
+    per-frame `run()` path with fresh geometry -- correctness never
+    depends on the frozen-geometry guess.
+
+    Returns (final_phi, final_velocity, final_pressure, stats) with stats
+    a dict of per-frame arrays (iterations, relative_residual,
+    max_divergence).  Per-frame field snapshots are deliberately NOT
+    returned (K resident grids would defeat the memory ledger); use
+    `run()` when every frame's fields are needed.
+    """
+    # Default resolved at CALL time (not import time), so late
+    # jax_enable_x64 changes are honored by the default config.
+    if config is None:
+        config = SolverConfig()
+    sd = config.solve_dtype
+    phi = jnp.asarray(liquid_phi, dtype=sd)
+    vel = tuple(jnp.asarray(v, dtype=sd) for v in velocity)
+    weights = tuple(jnp.asarray(w, dtype=sd) for w in cut_cell_weights)
+    if solid_phi is not None:
+        solid_phi = jnp.asarray(solid_phi, dtype=sd)
+    pressure = (
+        jnp.zeros(phi.shape, dtype=sd)
+        if old_pressure is None
+        else jnp.asarray(old_pressure, dtype=sd)
+    )
+
+    stats_frames: list[tuple] = []
+
+    def _geometry(cur_phi, reuse=None):
+        setup = free_surface.build_setup(
+            cur_phi, weights, solid_phi=solid_phi, config=config,
+            reuse_from=reuse,
+        )
+        nd_pad = setup.problem.hier.coarse_minv.shape[0]
+        if nd_pad == 0:
+            nd_pad = setup.problem.hier.coarse_chol.shape[0]
+        # Headroom: liquid motion grows the coarse system across the chunk;
+        # one extra bucket absorbs it (overflow is detected regardless).
+        nd_pad = max(256, nd_pad + 256)
+        geom = (
+            setup.base_pads,
+            setup.expanded_shape,
+            tuple(int(s) for s in np.asarray(setup.window_start)),
+            len(setup.problem.hier.levels),
+            nd_pad,
+            setup.padding,
+        )
+        return setup, geom
+
+    _, geom = _geometry(phi)
+
+    def _chunk_fn(phi, u, v, w, pressure, weights, solid_phi):
+        def body(carry, _):
+            phi, u, v, w, pressure = carry
+            new_phi, new_vel, new_pressure, stats = _frame_traced(
+                phi, (u, v, w), pressure, weights, solid_phi, config, geom,
+                dt, gravity,
+            )
+            return (new_phi, *new_vel, new_pressure), stats
+
+        return jax.lax.scan(
+            body, (phi, u, v, w, pressure), None, length=chunk
+        )
+
+    chunk_jit = jax.jit(_chunk_fn)
+
+    done = 0
+    while done < num_frames:
+        k = min(chunk, num_frames - done)
+        if k < chunk:
+            # Tail shorter than the chunk: the per-frame path avoids
+            # compiling a second (length-k) scan program.
+            frames = run(
+                phi, vel, weights, num_frames=k, dt=dt, gravity=gravity,
+                solid_phi=solid_phi, config=config, old_pressure=pressure,
+            )
+            for fr in frames:
+                stats_frames.append(
+                    (fr.iterations, fr.relative_residual, fr.max_divergence)
+                )
+            phi, vel, pressure = (
+                frames[-1].liquid_phi, frames[-1].velocity,
+                frames[-1].pressure,
+            )
+            done += k
+            continue
+
+        prev = (phi, vel, pressure)
+        carry, stats = chunk_jit(phi, *vel, pressure, weights, solid_phi)
+        iters, rel, maxdiv, fits, caps_ok, ndof_c = jax.device_get(stats)
+        ok = (
+            bool(fits.all())
+            and bool(caps_ok.all())
+            and int(ndof_c.max()) <= geom[4]
+        )
+        if not ok:
+            # The frozen geometry no longer matches the liquid: discard the
+            # chunk and recompute those frames on the per-frame path (which
+            # rebuilds geometry every frame), then refreeze.
+            phi, vel, pressure = prev
+            frames = run(
+                phi, vel, weights, num_frames=k, dt=dt, gravity=gravity,
+                solid_phi=solid_phi, config=config, old_pressure=pressure,
+            )
+            for fr in frames:
+                stats_frames.append(
+                    (fr.iterations, fr.relative_residual, fr.max_divergence)
+                )
+            phi, vel, pressure = (
+                frames[-1].liquid_phi, frames[-1].velocity,
+                frames[-1].pressure,
+            )
+            _, geom = _geometry(phi)
+            done += k
+            continue
+
+        phi, u, v, w, pressure = carry
+        vel = (u, v, w)
+        for i in range(k):
+            stats_frames.append(
+                (int(iters[i]), float(rel[i]), float(maxdiv[i]))
+            )
+        done += k
+        if on_chunk is not None:
+            on_chunk(done, stats_frames[-k:])
+
+    stats_out = {
+        "iterations": np.asarray([s[0] for s in stats_frames]),
+        "relative_residual": np.asarray([s[1] for s in stats_frames]),
+        "max_divergence": np.asarray([s[2] for s in stats_frames]),
+    }
+    return phi, vel, pressure, stats_out
 
 
 def run(

@@ -293,6 +293,66 @@ def _densify_cholesky(rows, cols, vals, ndof, nd_pad: int):
     return jnp.linalg.cholesky(_densify(rows, cols, vals, ndof, nd_pad))
 
 
+def _coarse_system_traced(c: stencil.LevelCoeffs, nd_pad: int):
+    """Coarsest-level direct solve assembled ON DEVICE, fully traced.
+
+    The host path (_finish_hierarchy) assembles the coarsest matrix with
+    scipy and ships bucketed triplets; this builds the SAME identity-padded
+    dense system straight from the level's stencil coefficients (A[i,i] =
+    diag, A[i,j] = -ew between solvable neighbors -- the operator
+    apply_poisson applies), so a per-frame hierarchy rebuild can live
+    INSIDE one compiled multi-frame program (models/simulate.run_fused;
+    no host round trip).  Returns (coarse_dofs, coarse_minv) ready for
+    MGHierarchy; DOF ordering is flat-C cell order, same as the host
+    assembler's.
+
+    Bucketing contract: solvable cells beyond `nd_pad` DOFs spill into a
+    dump row/column and are trimmed -- the preconditioner stays symmetric
+    but weakens, so callers must size the bucket with headroom and check
+    the emitted per-frame DOF count (run_fused does).
+    """
+    dtype = c.diag.dtype
+    solv = c.solvable.reshape(-1)
+    ncell = solv.size
+    slot = jnp.where(solv, jnp.cumsum(solv.astype(jnp.int32)) - 1, nd_pad)
+    ndof = jnp.sum(solv.astype(jnp.int32))
+    # Dense system with one dump row/col at nd_pad: scatters from non-DOF
+    # cells (and bucket overflow) land there and are trimmed.
+    a = jnp.zeros((nd_pad + 1, nd_pad + 1), dtype=dtype)
+    a = a.at[slot, slot].add(
+        jnp.where(solv, c.diag.reshape(-1).astype(dtype), 0), mode="drop"
+    )
+    slot3 = slot.reshape(c.shape)
+    for axis, ew in enumerate((c.ew0, c.ew1, c.ew2)):
+        lo = [slice(None)] * 3
+        hi = [slice(None)] * 3
+        lo[axis] = slice(0, -1)
+        hi[axis] = slice(1, None)
+        s_lo = slot3[tuple(lo)].reshape(-1)
+        s_hi = slot3[tuple(hi)].reshape(-1)
+        # ew[i] couples cells i and i+1 along `axis`; couplings to
+        # Dirichlet/exterior neighbors carry slot nd_pad and fall in the
+        # dump (they contribute to diag only, already in c.diag).
+        w = ew[tuple(lo)].reshape(-1).astype(dtype)
+        a = a.at[s_lo, s_hi].add(-w, mode="drop")
+        a = a.at[s_hi, s_lo].add(-w, mode="drop")
+    a = a[:nd_pad, :nd_pad]
+    i = jnp.arange(nd_pad)
+    a = a + jnp.where(i >= ndof, dtype.type(1.0), dtype.type(0.0)) * jnp.eye(
+        nd_pad, dtype=dtype
+    )
+    minv = jnp.linalg.inv(a)
+    minv = dtype.type(0.5) * (minv + minv.T)
+    # Slot -> flat cell index (the gather/scatter map coarse_solve uses);
+    # pad slots keep the out-of-range sentinel ncell.
+    dofs = (
+        jnp.full((nd_pad,), ncell, dtype=jnp.int32)
+        .at[slot]
+        .set(jnp.arange(ncell, dtype=jnp.int32), mode="drop")
+    )
+    return dofs, minv, ndof
+
+
 def build_hierarchy(
     labels,
     face_weights: Sequence | None,

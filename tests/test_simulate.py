@@ -107,3 +107,80 @@ def test_checkpoint_resume_matches_straight_run(tmp_path):
             np.asarray(resumed[0].velocity[a]),
             np.asarray(straight[2].velocity[a]), atol=1e-9,
         )
+
+
+def test_run_fused_matches_per_frame_run():
+    """run_fused (K frames per compiled program, on-device coarse assembly)
+    must reproduce run()'s per-frame path: same iteration counts, same
+    final fields to solver noise.  Exercises the traced frame body end to
+    end -- including mg._coarse_system_traced against the host scipy
+    assembly."""
+    n = 24
+    config = SolverConfig(tolerance=1e-8, max_iterations=300)
+    phi, velocity = sdf.splash_scene((n, n, n))
+    weights = sdf.open_box_weights((n, n, n))
+    phi = jnp.asarray(phi)
+    velocity = tuple(jnp.asarray(v) for v in velocity)
+
+    frames = simulate.run(
+        phi, velocity, weights, num_frames=4, dt=1.0 / 60.0, config=config
+    )
+    f_phi, f_vel, f_pressure, stats = simulate.run_fused(
+        phi, velocity, weights, num_frames=4, dt=1.0 / 60.0, config=config,
+        chunk=2,
+    )
+
+    assert list(stats["iterations"]) == [fr.iterations for fr in frames]
+    assert all(stats["relative_residual"] <= 1e-8 * 1.01)
+    assert all(stats["max_divergence"] < 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(f_phi), np.asarray(frames[-1].liquid_phi), atol=1e-12
+    )
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(f_vel[a]), np.asarray(frames[-1].velocity[a]),
+            atol=1e-9,
+        )
+    np.testing.assert_allclose(
+        np.asarray(f_pressure), np.asarray(frames[-1].pressure), atol=1e-9
+    )
+
+
+def test_run_fused_geometry_fallback():
+    """A chunk whose liquid outgrows the frozen window must be detected and
+    recomputed through the per-frame path (correctness never rests on the
+    frozen-geometry guess).  Forced here with a fast-falling drop scene and
+    a long chunk."""
+    n = 20
+    config = SolverConfig(tolerance=1e-7, max_iterations=300)
+    # A small drop high above a shallow pool: several frames of free fall
+    # move the active bbox well outside the frame-0 window.
+    points, dx = sdf.cell_centers((n, n, n))
+    phi = np.minimum(
+        sdf.pool_sdf(points, 0.15),
+        sdf.sphere_sdf(points, (0.5, 0.8, 0.5), 0.12),
+    )
+    velocity = []
+    for ax in range(3):
+        shape = tuple(n + (1 if a == ax else 0) for a in range(3))
+        v = np.zeros(shape)
+        if ax == 1:
+            v -= 2.0  # uniform fast fall
+        velocity.append(v)
+
+    f_phi, f_vel, f_pressure, stats = simulate.run_fused(
+        jnp.asarray(phi), tuple(jnp.asarray(v) for v in velocity), 
+        sdf.open_box_weights((n, n, n)),
+        num_frames=6, dt=1.0 / 30.0, gravity=-9.8, config=config, chunk=6,
+    )
+    frames = simulate.run(
+        jnp.asarray(phi), tuple(jnp.asarray(v) for v in velocity),
+        sdf.open_box_weights((n, n, n)),
+        num_frames=6, dt=1.0 / 30.0, gravity=-9.8, config=config,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_phi), np.asarray(frames[-1].liquid_phi), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_pressure), np.asarray(frames[-1].pressure), atol=1e-8
+    )
