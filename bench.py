@@ -114,6 +114,9 @@ def main() -> None:
         # the padded kernel views: a capped hierarchy's coarsest retained
         # levels are big with thin exterior padding.
         max_mg_levels=int(os.environ.get("BENCH_MAX_LEVELS", "0")) or None,
+        # Band-strip boundary passes (round-5 kernel A/B; 128 = one vreg
+        # lane tile per z edge).
+        pallas_band_strip=int(os.environ.get("BENCH_BAND_STRIP", "0")),
         # Kernel slab-tiling overrides for perf sweeps (0 = config default).
         **{
             k: v

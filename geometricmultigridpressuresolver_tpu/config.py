@@ -181,6 +181,17 @@ class SolverConfig:
     pallas_pad_coarse: bool = False
     pallas_pad_min_cells: int = 200_000
     pallas_pad_max_ratio: float = 1.5
+    # Band-strip boundary passes (ops.pallas_smoother.split_strip_blocks):
+    # active slabs whose boundary band lies entirely in the two z-edge
+    # strips of this many lanes run 'b' passes computing ONLY the strips
+    # -- identical arithmetic (the pass is the exact identity off the
+    # band; compiler FMA contraction may differ by ~1 ulp) at ~strip/nz
+    # of the VPU work, on a kernel RESULTS.md shows is
+    # compute-bound.  0 disables.  On hardware use a multiple of 128 (the
+    # vreg lane width); the z walls guarantee band cells at the lane
+    # edges of every liquid column, which is where this band actually
+    # lives for slabs away from the free surface.
+    pallas_band_strip: int = 0
     # Record the relative residual of EVERY CG iteration into
     # CGResult.residual_history (a fixed (max_iterations + 1,) buffer;
     # entries past the exit iteration stay NaN).  The reference prints

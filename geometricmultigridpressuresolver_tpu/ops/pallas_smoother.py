@@ -91,6 +91,18 @@ def plan_tiles(
     return tb, yb
 
 
+def _compact_blocks(occ: jax.Array, gx: int, gy: int):
+    """Order-preserving compaction of a block occupancy mask into (bx, by,
+    n_active) padded to the full block count."""
+    nb = gx * gy
+    n_active = occ.sum(dtype=jnp.int32)
+    pos = jnp.where(occ, jnp.cumsum(occ, dtype=jnp.int32) - 1, jnp.int32(nb))
+    bi = jnp.arange(nb, dtype=jnp.int32)
+    bx = jnp.zeros(nb, jnp.int32).at[pos].set(bi // gy, mode="drop")
+    by = jnp.zeros(nb, jnp.int32).at[pos].set(bi % gy, mode="drop")
+    return bx, by, n_active
+
+
 def solvable_block_list(
     solvable: jax.Array, tb: int, yb: int
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -112,16 +124,54 @@ def solvable_block_list(
     nx, ny, _ = solvable.shape
     rx, ry = nx - 2 * H, ny - 2 * H
     gx, gy = rx // tb, ry // yb
-    nb = gx * gy
     core = solvable[H : H + rx, H : H + ry, :]
     occ = core.reshape(gx, tb, gy, yb, -1).any(axis=(1, 3, 4)).reshape(-1)
-    n_active = occ.sum(dtype=jnp.int32)
-    # Order-preserving compaction: active block i lands at slot rank(i).
-    pos = jnp.where(occ, jnp.cumsum(occ, dtype=jnp.int32) - 1, jnp.int32(nb))
-    bi = jnp.arange(nb, dtype=jnp.int32)
-    bx = jnp.zeros(nb, jnp.int32).at[pos].set(bi // gy, mode="drop")
-    by = jnp.zeros(nb, jnp.int32).at[pos].set(bi % gy, mode="drop")
-    return bx, by, n_active
+    return _compact_blocks(occ, gx, gy)
+
+
+def split_strip_blocks(
+    solvable: jax.Array, band: jax.Array, tb: int, yb: int, strip_w: int
+):
+    """Partition the active slabs by boundary-band geometry:
+
+      (full_list, strip_list) with full ∪ strip = active, disjoint.
+
+    A slab goes on the STRIP list when every band cell of its HALOED
+    window lies in the two z-edge strips [0, strip_w) ∪ [nz-strip_w, nz).
+    On such slabs the boundary-Jacobi passes can compute ONLY the strips:
+    outside the band the pass is the identity (band = 0 gives a = 1,
+    wb = 0, x' = 1·x + 0·(b+s) = x exactly), and non-band values are
+    therefore invariant across consecutive 'b' passes -- so strip cells
+    reading ring neighbors just outside the strip read values that could
+    not have changed, and the restricted pass computes the same
+    arithmetic in the same association order as the full one (equal to
+    FMA-contraction rounding, measured <= 1 ulp).  The z walls put band cells in every liquid column, which
+    is why round-3's whole-slab band skip measured zero empty-band slabs;
+    the strips are where that band actually lives for slabs away from the
+    free surface.
+    """
+    nx, ny, nz = solvable.shape
+    rx, ry = nx - 2 * H, ny - 2 * H
+    gx, gy = rx // tb, ry // yb
+    sx, sy = tb + 2 * H, yb + 2 * H
+    core = solvable[H : H + rx, H : H + ry, :]
+    occ = core.reshape(gx, tb, gy, yb, -1).any(axis=(1, 3, 4)).reshape(-1)
+    # Band cells in the z-MIDDLE anywhere in a slab's haloed (sx, sy)
+    # window disqualify it; windows overlap, so reduce over full columns
+    # first, then window-max at the slab stride.
+    band_mid = (
+        (band[:, :, strip_w : nz - strip_w] != 0).any(axis=2).astype(jnp.int8)
+    )
+    winbad = (
+        jax.lax.reduce_window(
+            band_mid, jnp.int8(0), jax.lax.max, (sx, sy), (tb, yb), "valid"
+        )
+        > 0
+    ).reshape(-1)
+    return (
+        _compact_blocks(occ & winbad, gx, gy),
+        _compact_blocks(occ & ~winbad, gx, gy),
+    )
 
 
 def _dense_block_list(rx: int, ry: int, tb: int, yb: int):
@@ -302,7 +352,8 @@ def _neighbor_shift(x, axis: int, up: bool):
 
 def _make_kernel(schedule: tuple[str, ...], damping: float, t: int, y: int,
                  emit_dot: bool, emit_residual: bool = False,
-                 zero_x: bool = False, compute_dtype=None):
+                 zero_x: bool = False, compute_dtype=None,
+                 band_strip: int = 0):
     """Kernel factory; all geometry is static.
 
     1-D grid with two slab slots: while active block k is computed, block
@@ -459,7 +510,53 @@ def _make_kernel(schedule: tuple[str, ...], damping: float, t: int, y: int,
             if "j" in schedule:
                 wid = dt(w) * invd
 
+            def b_strip_pass(x):
+                # Boundary pass restricted to the two z-edge strips (this
+                # kernel instance only runs on slabs whose band lies
+                # entirely there -- split_strip_blocks): outside the band
+                # the pass is exactly the identity, so skipping the
+                # middle's neighbor sums changes nothing (same arithmetic,
+                # same association order; only compiler FMA contraction
+                # may differ, <= 1 ulp).  The z-NEIGHBOR term is computed
+                # on full lanes -- it needs a one-lane ring, and ring
+                # slices (129 lanes) break Mosaic's aligned vector layout
+                # -- while the x/y terms and the update run on the
+                # lane-aligned strips only: a 'b' pass drops from ~12 to
+                # ~4 + 12·(2·strip/nz) mul-adds per cell.
+                nzs = x.shape[2]
+                zterm = e2 * _neighbor_shift(x, 2, True) + _neighbor_shift(
+                    e2 * x, 2, False
+                )
+
+                def region(z0, z1):
+                    zc = (slice(None), slice(None), slice(z0, z1))
+                    xr = x[zc]
+                    e0r, e1r = e0[zc], e1[zc]
+                    # Same association order as neighbor_sum ((e0 terms +
+                    # e1 terms) + e2 terms), so the strip result matches
+                    # the full pass to FMA-contraction rounding.
+                    s = e0r * _neighbor_shift(xr, 0, True) + _neighbor_shift(
+                        e0r * xr, 0, False
+                    )
+                    s += e1r * _neighbor_shift(xr, 1, True) + _neighbor_shift(
+                        e1r * xr, 1, False
+                    )
+                    s += zterm[zc]
+                    return a[zc] * xr + wb[zc] * (b[zc] + s)
+
+                return jnp.concatenate(
+                    [
+                        region(0, band_strip),
+                        x[:, :, band_strip : nzs - band_strip],
+                        region(nzs - band_strip, nzs),
+                    ],
+                    axis=2,
+                )
+
             for kind in schedule:
+                if kind == "b" and band_strip:
+                    x = b_strip_pass(x)
+                    continue
                 s = neighbor_sum(x)
                 if kind == "j":
                     x = dt(1 - w) * x + wid * (b + s)
@@ -516,7 +613,7 @@ def _make_kernel(schedule: tuple[str, ...], damping: float, t: int, y: int,
     jax.jit,
     static_argnames=(
         "schedule", "damping", "block_t", "block_y", "interpret", "emit_dot",
-        "emit_residual", "zero_x",
+        "emit_residual", "zero_x", "band_strip",
     ),
 )
 def fused_smooth(
@@ -536,11 +633,21 @@ def fused_smooth(
     emit_residual: bool = False,
     zero_x: bool = False,
     blocks: tuple[jax.Array, jax.Array, jax.Array] | None = None,
+    strip_blocks: tuple[jax.Array, jax.Array, jax.Array] | None = None,
+    band_strip: int = 0,
 ):
     """Apply the fused pass stack; returns the updated solution grid (and,
     with `emit_dot`, the scalar <x_out, b> -- the CG rho when this is the
     preconditioner's final fine-level pass; with `emit_residual`, the
     residual r = b - A x_out as a second grid).
+
+    `strip_blocks` + `band_strip` enable the band-strip specialization:
+    `blocks` and `strip_blocks` must PARTITION the active slabs
+    (split_strip_blocks); the strip slabs run a kernel whose boundary
+    passes compute only the two `band_strip`-lane z-edge strips --
+    identical arithmetic (the pass is the exact identity off the band;
+    only FMA contraction may differ) at a fraction of the VPU work.  Two kernel launches chain through an
+    aliased output, so each active slab is written exactly once.
 
     `zero_x` statically specializes for x == 0 (the V-cycle downstroke
     entry): the x slab is never streamed from HBM, and -- because the
@@ -589,54 +696,79 @@ def fused_smooth(
             raise ValueError(
                 f"block list built for {ox_l.shape[0]} blocks, kernel has {nb}"
             )
-    na = jnp.asarray(na, jnp.int32).reshape(1)
 
-    kernel = _make_kernel(schedule, damping, tb, yb, emit_dot, emit_residual,
-                          zero_x, compute_dtype=cdt)
     slab = lambda dt: pltpu.VMEM((2, sx, sy, nz), dt)  # noqa: E731
-
-    zin = jnp.zeros_like(x)
     vmem_bytes = _vmem_estimate(sx, sy, nz, edt.itemsize, fdt.itemsize)
 
-    out_shape = [jax.ShapeDtypeStruct(x.shape, fdt)]
-    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
-    operands = [x, b, inv_diag, ew0, ew1, ew2, band_i8, zin]
-    aliases = {7: 0}  # zero-filled shells
-    if emit_residual:
-        operands.append(jnp.zeros_like(x))
-        aliases[8] = 1
-        out_shape.append(jax.ShapeDtypeStruct(x.shape, fdt))
-        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-    scratch = [
-        slab(fdt), slab(fdt), slab(fdt), slab(edt), slab(edt), slab(edt),
-        pltpu.VMEM((2, sx, sy, nz), jnp.int8),
-        pltpu.SemaphoreType.DMA((2, 7)),
-        pltpu.SemaphoreType.DMA((2, 2)),
-    ]
-    if emit_dot:
-        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        scratch = scratch + [pltpu.SMEM((1, 1), jnp.float32)]
+    def _launch(strip_w, block_list, x_init, r_init):
+        kernel = _make_kernel(
+            schedule, damping, tb, yb, emit_dot, emit_residual, zero_x,
+            compute_dtype=cdt, band_strip=strip_w,
+        )
+        bx, by, n_act = block_list
+        n_act = jnp.asarray(n_act, jnp.int32).reshape(1)
+        out_shape = [jax.ShapeDtypeStruct(x.shape, fdt)]
+        out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+        operands = [x, b, inv_diag, ew0, ew1, ew2, band_i8, x_init]
+        aliases = {7: 0}  # zero-filled shells / prior launch's slabs
+        if emit_residual:
+            operands.append(r_init)
+            aliases[8] = 1
+            out_shape.append(jax.ShapeDtypeStruct(x.shape, fdt))
+            out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch = [
+            slab(fdt), slab(fdt), slab(fdt), slab(edt), slab(edt), slab(edt),
+            pltpu.VMEM((2, sx, sy, nz), jnp.int8),
+            pltpu.SemaphoreType.DMA((2, 7)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+        if emit_dot:
+            out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            scratch = scratch + [pltpu.SMEM((1, 1), jnp.float32)]
 
-    n_any = len(operands)
-    out = pl.pallas_call(
-        kernel,
-        grid=(nb,),
-        out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_any
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
-        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
-        scratch_shapes=scratch,
-        input_output_aliases=aliases,
-        compiler_params=pltpu.CompilerParams(
-            # The estimate drives tile CHOICE; the limit passed to Mosaic
-            # gets headroom so a near-exact estimate does not fail
-            # compilation by a hair.
-            vmem_limit_bytes=min(vmem_bytes + (vmem_bytes >> 2), 120 << 20),
-        ),
-        interpret=interpret,
-    )(*operands, ox_l, oy_l, na)
-    return out
+        n_any = len(operands)
+        return pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_any
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+            scratch_shapes=scratch,
+            input_output_aliases=aliases,
+            compiler_params=pltpu.CompilerParams(
+                # The estimate drives tile CHOICE; the limit passed to
+                # Mosaic gets headroom so a near-exact estimate does not
+                # fail compilation by a hair.
+                vmem_limit_bytes=min(
+                    vmem_bytes + (vmem_bytes >> 2), 120 << 20
+                ),
+            ),
+            interpret=interpret,
+        )(*operands, bx, by, n_act)
+
+    use_strip = (
+        strip_blocks is not None and band_strip and "b" in schedule
+    )
+    zin = jnp.zeros_like(x)
+    rzin = jnp.zeros_like(x) if emit_residual else None
+    out = _launch(0, (ox_l, oy_l, na), zin, rzin)
+    if not use_strip:
+        return out
+    # Second launch over the strip slabs, chained through the first
+    # launch's outputs (disjoint slab sets; each active slab written once).
+    out = out if isinstance(out, tuple) else (out,)
+    x1 = out[0]
+    r1 = out[1] if emit_residual else None
+    out2 = _launch(band_strip, strip_blocks, x1, r1)
+    if not (emit_dot or emit_residual):
+        return out2
+    out2 = out2 if isinstance(out2, tuple) else (out2,)
+    if emit_dot:
+        # Per-launch dot partials cover disjoint slabs; the rho is the sum.
+        return out2[:-1] + (out[-1] + out2[-1],)
+    return out2
 
 
 def level_blocks(coeffs, config):
@@ -687,18 +819,39 @@ def smooth_level_pallas(
         inv_diag = inv_diag.astype(x.dtype)
     if blocks is None:
         blocks = level_blocks(coeffs, config)
+    # Band-strip specialization (config.pallas_band_strip): partition the
+    # active slabs so boundary passes on band-in-z-strips slabs compute
+    # only the strips.  The split is solve-invariant (mask + band), so
+    # XLA's LICM hoists it out of the CG loop like the block list itself.
+    strip_w = int(config.pallas_band_strip or 0)
+    strip_split = None
+    if strip_w and coeffs.shape[2] >= 3 * strip_w and "b" in schedule:
+        tb, yb = plan_tiles(
+            coeffs.shape, coeffs.ew0.dtype.itemsize,
+            config.pallas_block_t, config.pallas_block_y,
+        )
+        strip_split = split_strip_blocks(
+            coeffs.solvable, coeffs.band, tb, yb, strip_w
+        )
     starts = list(range(0, len(schedule), H))
     dot = residual = None
     for start in starts:
         chunk = schedule[start : start + H]
         first, last = start == 0, start == starts[-1]
+        if strip_split is not None and "b" in chunk:
+            chunk_blocks, chunk_strip, chunk_w = (
+                strip_split[0], strip_split[1], strip_w
+            )
+        else:
+            chunk_blocks, chunk_strip, chunk_w = blocks, None, 0
         out = fused_smooth(
             x, b, inv_diag, coeffs.ew0, coeffs.ew1, coeffs.ew2,
             band_i8, chunk, config.jacobi_damping,
             block_t=config.pallas_block_t, block_y=config.pallas_block_y,
             interpret=interpret, emit_dot=emit_dot and last,
             emit_residual=emit_residual and last,
-            zero_x=x_is_zero and first, blocks=blocks,
+            zero_x=x_is_zero and first, blocks=chunk_blocks,
+            strip_blocks=chunk_strip, band_strip=chunk_w,
         )
         if last:
             out = out if isinstance(out, tuple) else (out,)

@@ -511,3 +511,92 @@ def test_bf16_vcycle_output_contract_and_accuracy(fixture32):
 
     rho_ref = float(blas.dot(ref, b, c.solvable))
     np.testing.assert_allclose(float(rho), rho_ref, rtol=0.05)
+
+
+def test_band_strip_bit_identical_and_engages():
+    """config.pallas_band_strip: slabs whose boundary band lies in the two
+    z-edge strips run 'b' passes computing ONLY the strips.  Off the band
+    the pass is the exact identity (band=0 -> a=1, wb=0), so the strip
+    kernel must match the full kernel to FMA-contraction rounding (same
+    arithmetic, same association order) -- and the split must
+    actually engage (nonempty strip list) on a compact-window-style domain
+    whose interior slabs see band only near the z ends.
+
+    Domain geometry mimics the PRODUCTION compact windows (lane extent a
+    minimal 128-multiple, so the trailing exterior pad is < 128 and the
+    liquid's top-z wall band lands inside the top lane tile -- see
+    RESULTS.md round-5): a pool with walls on five sides and a Dirichlet
+    free surface in y, wide enough in x/y that interior slabs' haloed
+    windows clear the x walls, the bottom, and the surface rows."""
+    from geometricmultigridpressuresolver_tpu.ops import domain as domain_ops
+
+    labels = np.full((128, 160, 384), helpers.EXT, dtype=np.int8)
+    labels[16:112, 16:100, 16:368] = helpers.INT   # liquid pool
+    labels[16:112, 100:112, 16:368] = helpers.DIR  # air above (free surface)
+    weights = helpers.unit_weights(labels)
+    labels = domain_ops.set_boundary_labels(labels, weights)
+    # 16-row y tiles: this scaled-down pool's band-free y gap (between the
+    # bottom band and the surface band) is ~75 rows; haloed slab windows
+    # must fit inside it (production-size pools fit the default 48).
+    config = SolverConfig(solve_dtype=jnp.float32, pallas_block_y=16)
+    hier = mg_mod.build_hierarchy(labels, weights, 6, config)
+    c = hier.levels[0]
+    assert c.shape[2] >= 3 * 128, c.shape  # strip mode applicable
+
+    tb, yb = pallas_smoother.plan_tiles(
+        c.shape, c.ew0.dtype.itemsize, config.pallas_block_t,
+        config.pallas_block_y,
+    )
+    full_l, strip_l = pallas_smoother.split_strip_blocks(
+        c.solvable, c.band, tb, yb, 128
+    )
+    n_full, n_strip = int(full_l[2]), int(strip_l[2])
+    assert n_strip > 0, "strip specialization never engaged"
+    # Partition: together they cover exactly the active slabs.
+    combined = pallas_smoother.solvable_block_list(c.solvable, tb, yb)
+    assert n_full + n_strip == int(combined[2])
+
+    rng = np.random.default_rng(61)
+    x = jnp.where(
+        c.solvable, jnp.asarray(rng.standard_normal(c.shape), jnp.float32),
+        0.0,
+    )
+    b = jnp.where(
+        c.solvable, jnp.asarray(rng.standard_normal(c.shape), jnp.float32),
+        0.0,
+    )
+    cfg_strip = SolverConfig(
+        solve_dtype=jnp.float32, pallas_block_y=16, pallas_band_strip=128
+    )
+    # Identical arithmetic in identical association order; the only
+    # remaining divergence is compiler FMA contraction (measured <= 1 ulp
+    # at band cells, propagated by the GS passes), so the tolerance is a
+    # few fp32 ulps -- NOT a stencil-difference tolerance.
+    for forward in (True, False):
+        ref = pallas_smoother.smooth_level_pallas(
+            x, b, c, config, forward=forward, interpret=True
+        )
+        got = pallas_smoother.smooth_level_pallas(
+            x, b, c, cfg_strip, forward=forward, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=0, atol=5e-6
+        )
+
+    # The fused downstroke pair (zero-x + residual + dot) too -- the
+    # production V-cycle configuration.
+    ref = pallas_smoother.smooth_level_pallas(
+        jnp.zeros_like(b), b, c, config, forward=True, interpret=True,
+        x_is_zero=True, emit_residual=True, emit_dot=True,
+    )
+    got = pallas_smoother.smooth_level_pallas(
+        jnp.zeros_like(b), b, c, cfg_strip, forward=True, interpret=True,
+        x_is_zero=True, emit_residual=True, emit_dot=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(ref[0]), rtol=0, atol=5e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[1]), np.asarray(ref[1]), rtol=0, atol=5e-5
+    )
+    np.testing.assert_allclose(float(got[2]), float(ref[2]), rtol=1e-6)
