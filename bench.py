@@ -104,7 +104,6 @@ def main() -> None:
         tolerance=tol,
         max_iterations=200,
         setup_fusion=os.environ.get("BENCH_SETUP_FUSION", "auto"),
-        fuse_update_norm=os.environ.get("BENCH_FUSE_UPDATE", "0") == "1",
         pallas_pad_coarse=os.environ.get("BENCH_PAD_COARSE", "0") == "1",
         # k boundary passes per half-block (reference constant 3;
         # HDK_GeometricMultigridPoissonSolver.cpp:141-142).  A/B knob for
@@ -114,9 +113,9 @@ def main() -> None:
         # the padded kernel views: a capped hierarchy's coarsest retained
         # levels are big with thin exterior padding.
         max_mg_levels=int(os.environ.get("BENCH_MAX_LEVELS", "0")) or None,
-        # Band-strip boundary passes (round-5 kernel A/B; 128 = one vreg
-        # lane tile per z edge).
-        pallas_band_strip=int(os.environ.get("BENCH_BAND_STRIP", "0")),
+        # Band-strip boundary passes (round-5 kernel win; 128 = one vreg
+        # lane tile per z edge; 0 disables for A/B).
+        pallas_band_strip=int(os.environ.get("BENCH_BAND_STRIP", "128")),
         # Kernel slab-tiling overrides for perf sweeps (0 = config default).
         **{
             k: v

@@ -133,19 +133,10 @@ def main():
         timed_loop("fused CG step (occupancy)", fused_step, x,
                    (b, c0, blocks), k, bytes_per_iter=8 * cells * fp)
 
-        # Outer-CG tail: fused_update_norm kernel vs the XLA-fused trio.
+        # Outer-CG tail (the XLA-fused trio; the hand-written tail kernel
+        # measured slower at 256^3 and 448^3 and was removed in round 5 --
+        # benchmarks/RESULTS.md).
         alpha = jnp.float32(0.37)
-
-        def fused_tail(x, p, r, ap, blocks):
-            xn, rn, rr = pallas_cg.fused_update_norm(
-                x, p, r, ap, alpha,
-                block_t=config.pallas_block_t, block_y=config.pallas_block_y,
-                blocks=blocks, plan_itemsize=c0.ew0.dtype.itemsize,
-            )
-            return xn + 0 * rn + 0 * rr[0, 0]
-
-        timed_loop("fused update+norm tail (kernel)", fused_tail, x,
-                   (b, x, b, blocks), k, bytes_per_iter=6 * cells * fp)
 
         def xla_tail(x, p, r, ap, solvable):
             xn = x + alpha * p

@@ -34,8 +34,11 @@ run env BENCH_N=448 BENCH_REPS=2 python bench.py
 #    kernel view could win (VERDICT r4 #8).
 run env BENCH_N=256 BENCH_REPS=3 BENCH_MAX_LEVELS=4 python bench.py
 run env BENCH_N=256 BENCH_REPS=3 BENCH_MAX_LEVELS=4 BENCH_PAD_COARSE=1 python bench.py
-# 5. fuse_update_norm at the large end (448^3; 256^3 was round-3 negative).
-run env BENCH_N=448 BENCH_REPS=2 BENCH_FUSE_UPDATE=1 python bench.py
+# 5. fuse_update_norm at the large end: MEASURED 32.72M vs 33.75M DOF/s
+#    (negative at 448^3 as at 256^3); the knob and kernel were then
+#    REMOVED (RESULTS.md round-5) -- the line below no longer has a knob
+#    to flip and is kept as the record of what ran.
+# run env BENCH_N=448 BENCH_REPS=2 BENCH_FUSE_UPDATE=1 python bench.py
 # 5b. Band-strip boundary passes (round-5 kernel optimization): the
 #     compute-bound smoother skips the z-middle on slabs whose band
 #     lives in the z-edge lane tiles (bit-identical by construction).

@@ -40,8 +40,12 @@ def main() -> None:
     from geometricmultigridpressuresolver_tpu.parallel import pallas_sharded
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    # coarse_dof_target=1: deep hierarchy => generous exterior padding =>
+    # the fine level is kernel-eligible at this small grid (the same
+    # geometry the multichip dryrun uses).
     config = SolverConfig(
-        solve_dtype=jnp.float32, mg_dtype=jnp.float32, tolerance=1e-5
+        solve_dtype=jnp.float32, mg_dtype=jnp.float32, tolerance=1e-5,
+        coarse_dof_target=1,
     )
 
     @jax.jit

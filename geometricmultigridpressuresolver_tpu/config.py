@@ -134,14 +134,6 @@ class SolverConfig:
     # liquid bbox keeps fitting the previous frame's window shape; see
     # free_surface.build_setup(reuse_from=...).
     window_slack: int = 1
-    # Fuse the outer-CG tail (x += alpha p, r -= alpha Ap, ||r||^2) into
-    # one Pallas pass (ops.pallas_cg.fused_update_norm) when the fused CG
-    # path runs.  Default OFF: measured a ~5% solve REGRESSION at 256^3
-    # (0.235 s vs 0.223 s best-of-3, same session A/B) -- XLA's own fusion
-    # of the elementwise trio beats the kernel despite the occupancy skip
-    # (benchmarks/RESULTS.md round-3 negative results).  The kernel stays
-    # available for environments where the balance differs.
-    fuse_update_norm: bool = False
     # Device-program granularity of setup (build_setup / build_problem).
     # "fused": window expansion + every hierarchy level + the fine CG
     # operator compile as ONE program -- fewest dispatches, best on local
@@ -185,13 +177,25 @@ class SolverConfig:
     # active slabs whose boundary band lies entirely in the two z-edge
     # strips of this many lanes run 'b' passes computing ONLY the strips
     # -- identical arithmetic (the pass is the exact identity off the
-    # band; compiler FMA contraction may differ by ~1 ulp) at ~strip/nz
-    # of the VPU work, on a kernel RESULTS.md shows is
-    # compute-bound.  0 disables.  On hardware use a multiple of 128 (the
-    # vreg lane width); the z walls guarantee band cells at the lane
-    # edges of every liquid column, which is where this band actually
-    # lives for slabs away from the free surface.
-    pallas_band_strip: int = 0
+    # band; compiler FMA contraction may differ by ~1 ulp) at a fraction
+    # of the VPU work, on a kernel RESULTS.md shows is compute-bound.
+    # 0 disables.  On hardware use a multiple of 128 (the vreg lane
+    # width); the z walls guarantee band cells at the lane edges of every
+    # liquid column, which is where this band actually lives for slabs
+    # away from the free surface.  Default ON at 128: measured +5.3% at
+    # 448^3 (32.1 -> 33.8M DOF/s) and +4.8% at 384^3, a wash at 256^3
+    # (surface-band geometry leaves its 48-row y-slabs ineligible), and
+    # self-disabled below nz = 3*128 (RESULTS.md round-5).
+    pallas_band_strip: int = 128
+    # Advection scheme for the simulation driver (models/simulate):
+    # "semi_lagrangian" is the reference-flavored backtrace (trilinear
+    # map_coordinates) -- 8 arbitrary-index gathers per field, which run
+    # on the TPU's SCALAR core: measured ~2 s/frame at 128^3, ~40x the
+    # projection solve.  "upwind" is the TPU-native stencil scheme (same
+    # formal order, pure VPU shift/select arithmetic) with
+    # `advect_substeps` sub-Euler steps keeping CFL <= 1 per substep.
+    advection: str = "semi_lagrangian"
+    advect_substeps: int = 4
     # Record the relative residual of EVERY CG iteration into
     # CGResult.residual_history (a fixed (max_iterations + 1,) buffer;
     # entries past the exit iteration stay NaN).  The reference prints
@@ -209,6 +213,7 @@ class SolverConfig:
             "transfer_mode": ("auto", "mm", "slice"),
             "setup_fusion": ("auto", "fused", "per-level"),
             "interior_smoother": (None, "chebyshev"),
+            "advection": ("semi_lagrangian", "upwind"),
         }
         for name, values in allowed.items():
             value = getattr(self, name)

@@ -67,6 +67,98 @@ def advect_scalar(field: jax.Array, velocity, dt: float, dx: float) -> jax.Array
     return _sample(field, back)
 
 
+def _edge_shift(f: jax.Array, axis: int, up: bool) -> jax.Array:
+    """Edge-replicated unit shift (the stencil analogue of map_coordinates'
+    mode="nearest" clamping)."""
+    n = f.shape[axis]
+    main = [slice(None)] * 3
+    edge = [slice(None)] * 3
+    if up:  # out[i] = f[i+1], clamped at the top
+        main[axis] = slice(1, None)
+        edge[axis] = slice(n - 1, n)
+        return jnp.concatenate([f[tuple(main)], f[tuple(edge)]], axis=axis)
+    main[axis] = slice(0, n - 1)  # out[i] = f[i-1], clamped at the bottom
+    edge[axis] = slice(0, 1)
+    return jnp.concatenate([f[tuple(edge)], f[tuple(main)]], axis=axis)
+
+
+def _upwind_substep(f, vel_at_points, c: float):
+    """One first-order upwind Euler substep of df/dt = -v.grad(f).
+
+    `c` = dt_sub/dx.  All terms are shifts + selects -- VPU work, no
+    gathers.  Per-axis upwinding from the unsplit field (first-order
+    consistent)."""
+    out = f
+    for a in range(3):
+        vp = vel_at_points[a]
+        fwd = _edge_shift(f, a, True) - f   # f[i+1] - f[i]
+        bwd = f - _edge_shift(f, a, False)  # f[i] - f[i-1]
+        out = out - c * (
+            jnp.maximum(vp, 0) * bwd + jnp.minimum(vp, 0) * fwd
+        )
+    return out
+
+
+def _face_velocity(velocity, axis: int) -> tuple:
+    """Full velocity sampled at `axis`-face centers, by pure 2-point
+    averaging (exactly what trilinear sampling reduces to at on-grid face
+    positions): component `axis` is the face array itself; component j is
+    the cell-centered average of u_j shifted onto the faces."""
+    vc = _cell_center_velocity(velocity)
+    out = []
+    for j in range(3):
+        if j == axis:
+            out.append(velocity[axis])
+            continue
+        v = vc[j]
+        pad = [(0, 0)] * 3
+        pad[axis] = (1, 1)
+        vp = jnp.pad(v, pad, mode="edge")
+        lo = [slice(None)] * 3
+        hi = [slice(None)] * 3
+        lo[axis] = slice(0, -1)
+        hi[axis] = slice(1, None)
+        out.append(0.5 * (vp[tuple(lo)] + vp[tuple(hi)]))
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnames=("dt", "dx", "substeps"))
+def advect_scalar_upwind(
+    field: jax.Array, velocity, dt: float, dx: float, substeps: int = 4
+) -> jax.Array:
+    """Stencil (upwind) advection of a cell-centered field.
+
+    TPU-native alternative to `advect_scalar`: semi-Lagrangian
+    map_coordinates is 8 arbitrary-index GATHERS per field, which run on
+    the TPU's scalar core -- measured ~2 s/frame at 128^3, ~40x the
+    projection solve (RESULTS.md round-5).  First-order upwind is the
+    same formal order with pure shift/select arithmetic on the VPU;
+    `substeps` sub-Euler steps keep CFL <= 1 per substep (stable for
+    dt.|v|max/dx <= substeps).
+    """
+    vc = _cell_center_velocity(velocity)
+    c = (dt / substeps) / dx
+    for _ in range(substeps):
+        field = _upwind_substep(field, vc, c)
+    return field
+
+
+@functools.partial(jax.jit, static_argnames=("dt", "dx", "substeps"))
+def advect_velocity_upwind(velocity, dt: float, dx: float, substeps: int = 4):
+    """Stencil (upwind) self-advection of the MAC velocity (see
+    advect_scalar_upwind).  The advecting velocity is frozen over the
+    step, like `advect_velocity`'s backtrace field."""
+    c = (dt / substeps) / dx
+    out = []
+    for axis in range(3):
+        vel_at_face = _face_velocity(velocity, axis)
+        f = velocity[axis]
+        for _ in range(substeps):
+            f = _upwind_substep(f, vel_at_face, c)
+        out.append(f)
+    return tuple(out)
+
+
 @functools.partial(jax.jit, static_argnames=("dt", "dx"))
 def advect_velocity(velocity, dt: float, dx: float) -> tuple:
     """Semi-Lagrangian advection of each MAC component."""
@@ -87,6 +179,23 @@ def advect_velocity(velocity, dt: float, dx: float) -> tuple:
         back[axis] = back[axis] + 0.5
         out.append(_sample(velocity[axis], back))
     return tuple(out)
+
+
+def _advect(liquid_phi, velocity, dt: float, dx: float, config: SolverConfig):
+    """Scheme dispatch: reference-flavored semi-Lagrangian backtrace or the
+    TPU-native upwind stencil (config.advection)."""
+    if config.advection == "upwind":
+        new_phi = advect_scalar_upwind(
+            liquid_phi, velocity, dt, dx, config.advect_substeps
+        )
+        new_vel = advect_velocity_upwind(
+            velocity, dt, dx, config.advect_substeps
+        )
+        return new_phi, new_vel
+    return (
+        advect_scalar(liquid_phi, velocity, dt, dx),
+        advect_velocity(velocity, dt, dx),
+    )
 
 
 class FrameResult(NamedTuple):
@@ -126,8 +235,8 @@ def step(
     velocity = tuple(jnp.asarray(v, dtype=config.solve_dtype) for v in velocity)
     liquid_phi = jnp.asarray(liquid_phi, dtype=config.solve_dtype)
 
-    new_phi = advect_scalar(liquid_phi, velocity, dt, dx)
-    new_vel = list(advect_velocity(velocity, dt, dx))
+    new_phi, new_vel = _advect(liquid_phi, velocity, dt, dx, config)
+    new_vel = list(new_vel)
     new_vel[1] = new_vel[1] + config.solve_dtype(gravity * dt)
 
     setup = free_surface.build_setup(
@@ -309,8 +418,8 @@ def _frame_traced(
     sd = config.solve_dtype
     dx = 1.0 / max(phi.shape)
 
-    new_phi = advect_scalar(phi, velocity, dt, dx)
-    new_vel = list(advect_velocity(velocity, dt, dx))
+    new_phi, new_vel = _advect(phi, velocity, dt, dx, config)
+    new_vel = list(new_vel)
     new_vel[1] = new_vel[1] + sd(gravity * dt)
     new_vel = tuple(new_vel)
 

@@ -322,204 +322,6 @@ def fused_residual(
     )(x, b, diag, ew0, ew1, ew2, jnp.zeros_like(x), ox_l, oy_l, na)
 
 
-def _make_update_kernel(t: int, y: int, shell: int):
-    """x' = x + alpha p;  r' = r - alpha Ap;  rr = <r', r'> in one pass.
-
-    The outer-CG tail (solution/residual update + exit-test norm) was three
-    separate full-grid XLA passes worth ~2.3 ms of the 13.1 ms iteration at
-    256^3 (benchmarks/RESULTS.md round-2 ledger).  Elementwise only -- no
-    halo, so slabs are the bare (t, y, full-z) blocks; dead slabs keep
-    x' = r' = 0 via the zero-aliased outputs (every operand is identically
-    zero outside the solvable set) and contribute zero to the norm, which
-    keeps the fixed-order partial-sum reduction equal to the reference's
-    masked norm (Source/HDK_GeometricMultigridOperators.h:1020-1085).
-    """
-
-    def kernel(
-        x_hbm, p_hbm, r_hbm, ap_hbm, alpha_smem, _zin0, _zin1,
-        ox_s, oy_s, na_s,
-        xn_hbm, rn_hbm, rr_smem,
-        xs, ps, rs, aps, acc, in_sem, out_sem,
-    ):
-        idx = pl.program_id(0)
-        na = na_s[0]
-        cur = jax.lax.rem(idx, jnp.int32(2))
-        nxt = jax.lax.rem(idx + jnp.int32(1), jnp.int32(2))
-
-        pairs = ((x_hbm, xs), (p_hbm, ps), (r_hbm, rs), (ap_hbm, aps))
-
-        def in_copies(k, slot):
-            ox, oy = ox_s[k] * t + shell, oy_s[k] * y + shell
-            return [
-                pltpu.make_async_copy(
-                    hbm.at[pl.ds(ox, t), pl.ds(oy, y), :],
-                    vmem.at[slot],
-                    in_sem.at[slot, n],
-                )
-                for n, (hbm, vmem) in enumerate(pairs)
-            ]
-
-        def out_copies(k, slot):
-            ox, oy = ox_s[k] * t + shell, oy_s[k] * y + shell
-            return [
-                pltpu.make_async_copy(
-                    xs.at[slot],
-                    xn_hbm.at[pl.ds(ox, t), pl.ds(oy, y), :],
-                    out_sem.at[slot, 0],
-                ),
-                pltpu.make_async_copy(
-                    rs.at[slot],
-                    rn_hbm.at[pl.ds(ox, t), pl.ds(oy, y), :],
-                    out_sem.at[slot, 1],
-                ),
-            ]
-
-        @pl.when(idx == 0)
-        def _():
-            acc[0, 0] = jnp.float32(0.0)
-
-            @pl.when(na == 0)
-            def _():
-                rr_smem[0, 0] = jnp.float32(0.0)
-
-            @pl.when(na > 0)
-            def _():
-                for cp in in_copies(idx, cur):
-                    cp.start()
-
-        @pl.when(idx + 1 < na)
-        def _():
-            # The slot we prefetch into sourced block idx-1's output DMAs.
-            @pl.when(idx >= 1)
-            def _():
-                for cp in out_copies(idx - 1, nxt):
-                    cp.wait()
-
-            for cp in in_copies(idx + 1, nxt):
-                cp.start()
-
-        @pl.when(idx < na)
-        def _():
-            for cp in in_copies(idx, cur):
-                cp.wait()
-
-            alpha = alpha_smem[0, 0]
-            xn = xs[cur] + alpha * ps[cur]
-            rn = rs[cur] - alpha * aps[cur]
-            acc[0, 0] = acc[0, 0] + jnp.sum(rn * rn, dtype=jnp.float32)
-
-            xs[cur] = xn
-            rs[cur] = rn
-            for cp in out_copies(idx, cur):
-                cp.start()
-
-            @pl.when(idx == na - 1)
-            def _():
-                for cp in out_copies(idx, cur):
-                    cp.wait()
-
-                @pl.when(idx >= 1)
-                def _():
-                    for cp in out_copies(idx - 1, nxt):
-                        cp.wait()
-
-                rr_smem[0, 0] = acc[0, 0]
-
-    return kernel
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("block_t", "block_y", "interpret", "plan_itemsize", "shell"),
-)
-def fused_update_norm(
-    x: jax.Array,
-    p: jax.Array,
-    r: jax.Array,
-    ap: jax.Array,
-    alpha: jax.Array,
-    block_t: int = 32,
-    block_y: int = 48,
-    interpret: bool = False,
-    blocks: tuple | None = None,
-    plan_itemsize: int | None = None,
-    shell: int = H,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (x + alpha p, r - alpha Ap, ||r'||^2) in one fused pass.
-
-    Requires every operand to be identically zero outside the solvable set
-    (the standing invariant of the fused CG path); the unmasked update and
-    norm then equal the reference's masked ones.  `blocks`/`plan_itemsize`
-    as in `fused_residual`.
-
-    `shell` is the dead-border width of dims 0/1 (single-device arrays have
-    H dead shells by the padding rule; sharded per-device blocks have NONE
-    -- elementwise ops need no halo -- so the sharded path passes shell=0
-    and slabs tile the whole block).
-    """
-    nx, ny, nz = x.shape
-    rx, ry = nx - 2 * shell, ny - 2 * shell
-    if plan_itemsize is None:
-        plan_itemsize = 4
-    # Plan from the H-shell-equivalent shape so the tiling (and hence any
-    # shared `blocks` list) agrees with the other fused kernels regardless
-    # of `shell` (for shell == H this IS plan_tiles(x.shape, ...)).
-    tb, yb = plan_tiles((rx + 2 * H, ry + 2 * H, nz), plan_itemsize, block_t, block_y)
-    nb = (rx // tb) * (ry // yb)
-
-    if blocks is None:
-        ox_l, oy_l, na = _dense_block_list(rx, ry, tb, yb)
-    else:
-        ox_l, oy_l, na = blocks
-        if ox_l.shape != (nb,):
-            raise ValueError(
-                f"block list built for {ox_l.shape[0]} blocks, kernel has {nb}"
-            )
-    na = jnp.asarray(na, jnp.int32).reshape(1)
-
-    kernel = _make_update_kernel(tb, yb, shell)
-    fdt = x.dtype
-    slab = lambda dt: pltpu.VMEM((2, tb, yb, nz), dt)  # noqa: E731
-
-    alpha_arr = jnp.asarray(alpha, dtype=fdt).reshape(1, 1)
-    slab_bytes = tb * yb * nz
-    vmem_bytes = 2 * 4 * 4 * slab_bytes + 4 * 4 * slab_bytes + (4 << 20)
-
-    return pl.pallas_call(
-        kernel,
-        grid=(nb,),
-        out_shape=(
-            jax.ShapeDtypeStruct(x.shape, fdt),
-            jax.ShapeDtypeStruct(x.shape, fdt),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        ),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4
-        + [
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ]
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        scratch_shapes=[
-            slab(fdt), slab(fdt), slab(fdt), slab(fdt),
-            pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 4)),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-        input_output_aliases={5: 0, 6: 1},  # dead slabs / shells stay zero
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(vmem_bytes + (vmem_bytes >> 2), 120 << 20),
-        ),
-        interpret=interpret,
-    )(x, p, r, ap, alpha_arr, jnp.zeros_like(x), jnp.zeros_like(x),
-      ox_l, oy_l, na)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("block_t", "block_y", "interpret", "plan_itemsize"),

@@ -178,49 +178,6 @@ def cg_step_sharded(
     return run(z, p, beta_arr, *prehaloed_cg)
 
 
-def update_norm_sharded(
-    x: jax.Array,
-    p: jax.Array,
-    r: jax.Array,
-    ap: jax.Array,
-    alpha,
-    config,
-    mesh,
-    interpret: bool = False,
-):
-    """Sharded fused outer-CG tail: x + alpha p, r - alpha Ap, ||r'||^2.
-
-    Purely elementwise, so NO halo exchange at all: each device runs
-    ops.pallas_cg.fused_update_norm on its bare block with shell=0 (a
-    sharded block has no dead border) and the squared norm partials
-    psum-reduce over the sharded axes -- the only communication.
-    """
-    spec = _level_spec(mesh, x.shape)
-    sharded_axes = _sharded_axes_for(mesh, spec)
-    axis_names = tuple(name for _, name, _ in sharded_axes)
-    alpha_arr = jnp.asarray(alpha, dtype=x.dtype)
-
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(spec, spec, spec, spec, PartitionSpec()),
-        out_specs=(spec, spec, PartitionSpec()),
-        check_vma=False,
-    )
-    def run(x_blk, p_blk, r_blk, ap_blk, alpha_s):
-        from geometricmultigridpressuresolver_tpu.ops import pallas_cg
-
-        xn, rn, rr = pallas_cg.fused_update_norm(
-            x_blk, p_blk, r_blk, ap_blk, alpha_s,
-            block_t=config.pallas_block_t, block_y=config.pallas_block_y,
-            interpret=interpret, shell=0,
-        )
-        rr = jax.lax.psum(rr.reshape(()), axis_names)
-        return xn, rn, rr
-
-    return run(x, p, r, ap, alpha_arr)
-
-
 def prehalo_cg_coeffs(coeffs, mesh):
     """Pre-halo the CG operator's constant arrays (diag, ew0..2) once per
     solve, as `prehalo_coeffs` does for the smoother's."""

@@ -185,7 +185,6 @@ def solve_pcg_fused(
     preconditioner_dot: Callable[[jax.Array], tuple] | None = None,
     interrupt_check: Callable[[int], bool] | None = None,
     record_residuals: bool = False,
-    update_norm: Callable | None = None,
 ) -> CGResult:
     """PCG with a fused search-direction/mat-vec/dot step.
 
@@ -196,15 +195,14 @@ def solve_pcg_fused(
     search-direction update opens the body instead of closing it.
     `preconditioner_dot(r) -> (z, <r, z>)` optionally fuses the rho
     reduction into the preconditioner (ignored under null-space projection,
-    which must project z before the dot).
-    `update_norm(x, p, r, ap, alpha) -> (x', r', ||r'||^2)` optionally
-    fuses the solution/residual update and the exit-test norm into one
-    pass (ops.pallas_cg.fused_update_norm); also ignored under null-space
-    projection, which must project r before the norm.
+    which must project z before the dot).  The solution/residual tail
+    (x += alpha p, r -= alpha Ap, ||r'||^2) deliberately stays on XLA's
+    own fusion: a hand-written tail kernel measured SLOWER at 256^3
+    (round 3) and 448^3 (round 5) and was removed -- see
+    benchmarks/RESULTS.md.
     """
     if project_null_space:
         preconditioner_dot = None
-        update_norm = None
     if preconditioner_dot is None:
         def preconditioner_dot(r):
             z = apply_preconditioner(r)
@@ -248,13 +246,9 @@ def solve_pcg_fused(
         p, ap, pap = step_p(s.z, s.p, s.beta)
         pap = pap.reshape(()).astype(dtype)
         alpha = s.rho / jnp.where(pap == 0, jnp.ones_like(pap), pap)
-        if update_norm is not None:
-            x, r, rr = update_norm(s.x, p, s.r, ap, alpha)
-            rr = rr.reshape(()).astype(dtype)
-        else:
-            x = s.x + alpha * p
-            r = project(jnp.where(solvable, s.r - alpha * ap, s.r))
-            rr = blas.squared_l2_norm(r, solvable)
+        x = s.x + alpha * p
+        r = project(jnp.where(solvable, s.r - alpha * ap, s.r))
+        rr = blas.squared_l2_norm(r, solvable)
         z, rho_new = preconditioner_dot(r)
         z = project(z)
         rho_new = rho_new.reshape(()).astype(dtype)

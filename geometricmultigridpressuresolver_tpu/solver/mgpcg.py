@@ -177,7 +177,6 @@ def _solve_fn(
         from geometricmultigridpressuresolver_tpu.ops import pallas_cg
         from geometricmultigridpressuresolver_tpu.ops import pallas_smoother
 
-        update_norm = None
         if use_fused_sharded:
             from geometricmultigridpressuresolver_tpu.parallel import (
                 pallas_sharded,
@@ -193,12 +192,6 @@ def _solve_fn(
                     prehaloed_cg=fine_prehalo,
                 )
 
-            if config.fuse_update_norm:
-                def update_norm(x, p, r, ap, alpha):
-                    return pallas_sharded.update_norm_sharded(
-                        x, p, r, ap, alpha, config, mesh,
-                        interpret=config.pallas_interpret,
-                    )
         else:
             # The CG operator's own active-slab list (fine may differ from
             # hier.levels[0] in dtype; identical expressions CSE either way).
@@ -214,16 +207,6 @@ def _solve_fn(
                     interpret=config.pallas_interpret,
                 )
 
-            if config.fuse_update_norm:
-                def update_norm(x, p, r, ap, alpha):
-                    return pallas_cg.fused_update_norm(
-                        x, p, r, ap, alpha,
-                        block_t=config.pallas_block_t,
-                        block_y=config.pallas_block_y,
-                        blocks=fine_blocks,
-                        plan_itemsize=fine.ew0.dtype.itemsize,
-                        interpret=config.pallas_interpret,
-                    )
 
         preconditioner_dot = None
         if config.use_mg_preconditioner:
@@ -253,7 +236,6 @@ def _solve_fn(
             preconditioner_dot=preconditioner_dot,
             interrupt_check=interrupt_check,
             record_residuals=config.record_residuals,
-            update_norm=update_norm,
         )
 
     return cg_mod.solve_pcg(

@@ -126,40 +126,6 @@ def test_fused_residual_matches_jnp(fixture32):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
-def test_fused_update_norm_matches_jnp(fixture32):
-    """ops.pallas_cg.fused_update_norm: x + alpha p, r - alpha Ap, ||r'||^2
-    (the outer-CG tail) in one elementwise pass."""
-    from geometricmultigridpressuresolver_tpu.ops import blas, pallas_cg, stencil
-
-    hier, c, x, b = fixture32
-    rng = np.random.default_rng(11)
-    p = jnp.where(
-        c.solvable, jnp.asarray(rng.standard_normal(c.shape), jnp.float32), 0.0
-    )
-    r = b
-    ap = jnp.where(c.solvable, stencil.apply_poisson(p, c), 0.0)
-    alpha = jnp.float32(0.4173)
-
-    x_ref = x + alpha * p
-    r_ref = jnp.where(c.solvable, r - alpha * ap, r)
-    rr_ref = float(blas.squared_l2_norm(r_ref, c.solvable))
-
-    xn, rn, rr = pallas_cg.fused_update_norm(x, p, r, ap, alpha, interpret=True)
-    np.testing.assert_allclose(np.asarray(xn), np.asarray(x_ref), atol=2e-6)
-    np.testing.assert_allclose(np.asarray(rn), np.asarray(r_ref), atol=2e-6)
-    np.testing.assert_allclose(float(rr[0, 0]), rr_ref, rtol=1e-5)
-
-    # With the compacted active-slab list: identical results.
-    blocks = pallas_smoother.level_blocks(c, SolverConfig(solve_dtype=jnp.float32))
-    xn2, rn2, rr2 = pallas_cg.fused_update_norm(
-        x, p, r, ap, alpha, blocks=blocks,
-        plan_itemsize=c.ew0.dtype.itemsize, interpret=True,
-    )
-    np.testing.assert_array_equal(np.asarray(xn), np.asarray(xn2))
-    np.testing.assert_array_equal(np.asarray(rn), np.asarray(rn2))
-    assert float(rr[0, 0]) == float(rr2[0, 0])
-
-
 def test_block_occupancy_skipping(fixture32):
     """Dead (no-solvable) slabs are skipped exactly: the compacted-list
     kernels agree with the dense-list kernels and the jnp operators.
@@ -263,7 +229,7 @@ def test_zero_x_and_fused_residual(fixture32):
 @pytest.mark.slow
 def test_full_fused_solve_matches_jnp_interpret():
     """End-to-end MGPCG with EVERY single-device fusion engaged (fused
-    smoother, zero-x residual, CG-step, rho dot, outer-tail update_norm)
+    smoother, zero-x residual, CG-step, rho dot)
     in interpret mode vs the jnp path: same iterations, same solution.
 
     Uses the 64^3 splash window (lane-aligned to 128) so `eligible` is
@@ -280,12 +246,9 @@ def test_full_fused_solve_matches_jnp_interpret():
         tolerance=1e-4, max_iterations=8, coarse_dof_target=1,
     )
     cfg_jnp = SolverConfig(kernel_mode="jnp", **base_kwargs)
-    # fuse_update_norm=True: the tail kernel is default-off after the
-    # round-3 A/B (XLA wins on TPU), but its solve-path wiring must stay
-    # correct -- this is the test that exercises it end-to-end.
     cfg_pal = SolverConfig(
         kernel_mode="pallas", pallas_interpret=True, record_residuals=True,
-        fuse_update_norm=True, **base_kwargs,
+        **base_kwargs,
     )
 
     setup = free_surface.build_setup(phi, weights, config=cfg_jnp)

@@ -302,29 +302,6 @@ def test_sharded_smoother_fusions_match_jnp():
     np.testing.assert_allclose(float(dot), dot_ref, rtol=1e-5)
 
 
-def test_sharded_update_norm_matches_jnp():
-    """VERDICT r2 #3/#4: the sharded outer-CG tail (x', r', ||r'||^2) in one
-    elementwise kernel per device plus one psum."""
-    from geometricmultigridpressuresolver_tpu.ops import blas, stencil
-    from geometricmultigridpressuresolver_tpu.parallel import pallas_sharded
-
-    config, c, mesh_xy, mk = _fixture_sharded_level()
-    x, r, p = mk(), mk(), mk()
-    ap = jnp.where(c.solvable, stencil.apply_poisson(p, c), 0.0)
-    alpha = jnp.float32(0.3141)
-
-    x_ref = x + alpha * p
-    r_ref = jnp.where(c.solvable, r - alpha * ap, r)
-    rr_ref = float(blas.squared_l2_norm(r_ref, c.solvable))
-
-    xn, rn, rr = pallas_sharded.update_norm_sharded(
-        x, p, r, ap, alpha, config, mesh_xy, interpret=True
-    )
-    np.testing.assert_allclose(np.asarray(xn), np.asarray(x_ref), atol=2e-6)
-    np.testing.assert_allclose(np.asarray(rn), np.asarray(r_ref), atol=2e-6)
-    np.testing.assert_allclose(float(rr), rr_ref, rtol=1e-5)
-
-
 def test_padded_flag_under_multi_device_mesh():
     """VERDICT r3 #6: on a >1-device mesh, replicated coarse levels may take
     the padded kernel view while the fine level runs the sharded path.  The

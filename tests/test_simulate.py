@@ -184,3 +184,81 @@ def test_run_fused_geometry_fallback():
     np.testing.assert_allclose(
         np.asarray(f_pressure), np.asarray(frames[-1].pressure), atol=1e-8
     )
+
+
+def test_upwind_advection_dt0_and_stability():
+    """Upwind stencil advection: dt=0 is the identity; a CFL>1 step with
+    substeps stays bounded (each substep is CFL<=1 and monotone, so the
+    field stays within its initial range)."""
+    rng = np.random.default_rng(9)
+    n = 12
+    field = jnp.asarray(rng.standard_normal((n, n, n)))
+    # Bounded |v| <= 1 so the 3-axis CFL sum stays under 1 per substep
+    # (monotonicity needs sum_a |v_a| dt_sub / dx <= 1).
+    velocity = tuple(
+        jnp.asarray(rng.uniform(-1.0, 1.0, size=(
+            tuple(n + (1 if a == ax else 0) for a in range(3))
+        )))
+        for ax in range(3)
+    )
+    out0 = simulate.advect_scalar_upwind(field, velocity, 0.0, 1.0 / n)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(field), atol=1e-12)
+    v0 = simulate.advect_velocity_upwind(velocity, 0.0, 1.0 / n)
+    for ax in range(3):
+        np.testing.assert_allclose(
+            np.asarray(v0[ax]), np.asarray(velocity[ax]), atol=1e-12
+        )
+
+    # dt.|v|/dx up to ~4/3 with substeps=4: monotone, so no new extrema.
+    out = simulate.advect_scalar_upwind(field, velocity, 1.0 / 18.0, 1.0 / n,
+                                        substeps=4)
+    assert float(jnp.max(out)) <= float(jnp.max(field)) + 1e-9
+    assert float(jnp.min(out)) >= float(jnp.min(field)) - 1e-9
+
+
+def test_upwind_matches_semi_lagrangian_uniform_flow():
+    """Under uniform velocity both schemes transport a smooth field the
+    same way to first order: one small-CFL step agrees to O(dx^2)-level
+    tolerance on a smooth sine field."""
+    n = 32
+    pts, dx = sdf.cell_centers((n, n, n))
+    field = jnp.asarray(np.sin(2 * np.pi * pts[0]) * np.cos(2 * np.pi * pts[1]))
+    velocity = []
+    for ax in range(3):
+        shape = tuple(n + (1 if a == ax else 0) for a in range(3))
+        velocity.append(jnp.full(shape, 0.5 if ax == 0 else 0.25))
+    dt = 0.2 * dx  # CFL 0.1
+    sl = simulate.advect_scalar(field, tuple(velocity), dt, dx)
+    uw = simulate.advect_scalar_upwind(field, tuple(velocity), dt, dx,
+                                       substeps=1)
+    # Interior only (edge clamping differs at the inflow boundary).
+    s = (slice(2, -2),) * 3
+    diff = float(jnp.max(jnp.abs(sl[s] - uw[s])))
+    assert diff < 5e-3, diff
+
+
+def test_run_fused_matches_run_upwind():
+    """run_fused == run with the TPU-native upwind advection scheme."""
+    n = 24
+    config = SolverConfig(tolerance=1e-8, max_iterations=300,
+                          advection="upwind")
+    phi, velocity = sdf.splash_scene((n, n, n))
+    weights = sdf.open_box_weights((n, n, n))
+    phi = jnp.asarray(phi)
+    velocity = tuple(jnp.asarray(v) for v in velocity)
+
+    frames = simulate.run(
+        phi, velocity, weights, num_frames=3, dt=1.0 / 60.0, config=config
+    )
+    f_phi, f_vel, f_pressure, stats = simulate.run_fused(
+        phi, velocity, weights, num_frames=3, dt=1.0 / 60.0, config=config,
+        chunk=3,
+    )
+    assert list(stats["iterations"]) == [fr.iterations for fr in frames]
+    np.testing.assert_allclose(
+        np.asarray(f_phi), np.asarray(frames[-1].liquid_phi), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_pressure), np.asarray(frames[-1].pressure), atol=1e-9
+    )
+    assert all(stats["max_divergence"] < 1e-6)
