@@ -30,6 +30,16 @@ import json
 import time
 
 import jax
+
+# sitecustomize may have imported jax before this script's env vars took
+# effect; these config knobs still work post-import (same trick as
+# __graft_entry__.dryrun_multichip / tests/conftest.py).
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 
 from geometricmultigridpressuresolver_tpu.config import SolverConfig
